@@ -1,24 +1,72 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.datagen.SyntheticTranscripts
+import graft.pipeline.{Route, RunPipeline}
+
+/** Driver-run benchmark: headline = end-to-end parse→enrich→route throughput
+  * on the synthetic transcript table (the BASELINE.json metric, turns/sec),
+  * plus wall-clock for a representative slice of the query surface.
+  * Prints exactly ONE JSON line.
+  */
 object Bench {
+
+  def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Headline pipeline run: returns (turns, seconds, turns/sec). */
+  def pipelineThroughput(spark: SparkSession, nConvs: Long, outDir: String): (Long, Double, Double) = {
+    val (counts, secs) = timed {
+      val turns = SyntheticTranscripts.generate(spark, nConvs)
+      val res = RunPipeline.run(spark, turns, outDir, fingerprint = s"bench-$nConvs-$outDir")
+      res.routedCounts
+    }
+    val total = counts.values.sum
+    (total, secs, total / secs)
+  }
+
+  // queries worth timing per-round: the relational/agg/window engine slice,
+  // each dedup/similarity/text family, and the transcript pipeline slice
+  val HeadlineQueries: Seq[String] = Seq(
+    "q1_agg", "q3_join_agg", "q5_window", "q10_events_hourly", "q11_sessionize",
+    "d1_exact_dedup", "d3_minhash_pairs", "d4_simhash_pairs",
+    "s1_knn_brute", "s2_knn_lsh", "t1_quality", "t3_langid",
+    "p1_route_counts", "p2_token_stats", "p4_conv_stats")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", math.max(8, cpus).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    try {
+      // headline: parse→enrich→route throughput (with sink writes)
+      val benchOut = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val nConvs = SyntheticTranscripts.convsForSfDir(sfDir)
+      val (turns, pipeSecs, turnsPerSec) = pipelineThroughput(spark, nConvs, benchOut)
+
+      val qTimes = HeadlineQueries.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          val (_, secs) = timed { fn(spark, sfDir).count() }
+          name -> secs
+        }
+      }
+
+      val allTimes = ("pipeline_parse_route" -> pipeSecs) +: qTimes
+      val total = allTimes.map(_._2).sum
+      val qs = allTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      println(
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"turns":$turns,"seconds":$pipeSecs%.3f,"turns_per_sec":$turnsPerSec%.1f,"cores":$cpus}}""")
+    } finally spark.stop()
   }
 }

@@ -1,13 +1,332 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.datagen.SyntheticTranscripts
+import graft.lexer.PatternBank
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Aggregate, Enrich, Parse, Route}
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 inventory), with equivalent DuckDB SQL in `oracleSql`
+  * wherever the semantics are ANSI-SQL-expressible. Non-SQL-expressible
+  * operators (the tokenizer pipeline, MinHash/SimHash dedup, LSH ANN,
+  * fingerprinting, multimodal) get rows-only driver checks and are instead
+  * verified against independent oracles in the ScalaTest suites.
+  *
+  * Query naming: q* relational engine surface, d* dedup, s* similarity,
+  * t* text analysis, m* multimodal, p* transcript parse→route pipeline.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** documents ∪ deterministic duplicate copies — both engines can build it,
+    * so the dedup operators have something to find. Every doc_id % 5 == 0
+    * gets an exact copy at id+100000; % 7 == 0 a near-copy (one word
+    * changed) at id+200000.
+    */
+  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+    d.unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+    ).unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("text", regexp_replace(col("text"), "table", "tables"))
+    )
+  }
+
+  private val DocsWithDupsSql =
+    """SELECT * FROM documents
+      |UNION ALL SELECT doc_id+100000 AS doc_id, text, lang, source, n_chars FROM documents WHERE doc_id%5=0
+      |UNION ALL SELECT doc_id+200000 AS doc_id, regexp_replace(text,'table','tables','g') AS text, lang, source, n_chars FROM documents WHERE doc_id%7=0""".stripMargin
+
+  /** Synthetic transcripts sized for the sf dir + the parsed/enriched view
+    * (pipeline P1–P3), reused by the p* queries.
+    */
+  private def enrichedTranscripts(spark: SparkSession, dir: String): DataFrame = {
+    val turns = SyntheticTranscripts.generate(spark, SyntheticTranscripts.convsForSfDir(dir))
+    val bank = spark.sparkContext.broadcast(PatternBank.example)
+    Enrich(Parse(turns, bank).toDF(),
+      SyntheticTranscripts.dimTool(spark), SyntheticTranscripts.dimRole(spark))
+  }
+
+  /** Flagship query on sf=0.001: full parse→enrich→route aggregation over
+    * the synthetic transcript table; driver smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Route.counts(enrichedTranscripts(spark, "/root/testdata/sf0.001"))
+      .orderBy("category")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational engine surface (Catalyst built-ins) ----
+    "q1_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").cast("bigint").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_sort_limit" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    "q3_join_agg" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+    "q4_multijoin" -> ((s, dir) => {
+      // dims broadcast explicitly: nation/region must never shuffle-join
+      tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }),
+    "q5_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      tbl(s, dir, "orders")
+        .filter(col("o_custkey") < 500)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_spend"))
+        .orderBy("o_custkey", "rn")
+    }),
+    "q6_filter_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+                col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    }),
+    "q7_semi" -> ((s, dir) => {
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_active"))
+        .orderBy("c_mktsegment")
+    }),
+    "q8_anti" -> ((s, dir) => {
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_inactive"))
+        .orderBy("c_mktsegment")
+    }),
+    "q9_setop" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").select(col("l_partkey").as("k"))
+        .intersect(tbl(s, dir, "part").filter(col("p_size") > 40).select(col("p_partkey").as("k")))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q10_events_hourly" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type", "hour")
+    }),
+    "q11_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      tbl(s, dir, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id").agg(count(lit(1)).as("session_len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max("session_len").as("max_len"))
+        .orderBy("user_id")
+    }),
+    "q12_json_extract" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("event_type")
+    }),
+
+    // ---- deduplication (training-data ops) ----
+    "d1_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(docsWithDups(s, dir)).orderBy("keep_id")),
+    "d2_norm_dedup" -> ((s, dir) =>
+      Dedup.normalized(docsWithDups(s, dir)).orderBy("keep_id")),
+    "d3_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(docsWithDups(s, dir), threshold = 0.8).orderBy("id_a", "id_b")),
+    "d4_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docsWithDups(s, dir), maxHamming = 3).orderBy("id_a", "id_b")),
+    "d5_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsWithDups(s, dir), n = 3, threshold = 0.5).orderBy("id_a", "id_b")),
+
+    // ---- similarity search ----
+    "s1_knn_brute" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "s2_knn_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 5, nBits = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- text analysis ----
+    "t1_quality" -> ((s, dir) =>
+      TextAnalysis.quality(tbl(s, dir, "documents")).orderBy("doc_id")),
+    "t2_tokencounts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(tbl(s, dir, "documents")).orderBy("doc_id")),
+    "t3_langid" -> ((s, dir) =>
+      TextAnalysis.langId(tbl(s, dir, "documents")).orderBy("doc_id")),
+    "t4_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(tbl(s, dir, "documents")).orderBy("doc_id")),
+
+    // ---- multimodal plumbing (decode stubbed, see operators/Multimodal) ----
+    "m1_multimodal_features" -> ((s, dir) => {
+      val n = if (dir.contains("0.1")) 5000L else if (dir.contains("0.01")) 2000L else 500L
+      Multimodal.featureStats(Multimodal.extractFeatures(Multimodal.generateAssets(s, n)))
+        .orderBy("media_type")
+    }),
+
+    // ---- transcript pipeline (the north-rule surface; oracles live in the
+    //      ScalaTest suites — naive per-row recompute + exceptAll) ----
+    "p1_route_counts" -> ((s, dir) =>
+      Route.counts(enrichedTranscripts(s, dir)).orderBy("category")),
+    "p2_token_stats" -> ((s, dir) => {
+      enrichedTranscripts(s, dir)
+        .select(explode(col("tokens")).as("tok"))
+        .groupBy(col("tok.token_type").as("token_type"), col("tok.schema_id").as("schema_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("token_type", "schema_id")
+    }),
+    "p3_per_tool" -> ((s, dir) =>
+      Aggregate.perTool(enrichedTranscripts(s, dir)).orderBy("tool")),
+    "p4_conv_stats" -> ((s, dir) =>
+      Aggregate.perConversation(enrichedTranscripts(s, dir))
+        .orderBy(col("n_turns").desc, col("conv_id")).limit(50))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |CAST(round(sum(l_extendedprice),2) AS DOUBLE) AS sum_base,
+        |CAST(round(sum(l_extendedprice*(1-l_discount)),2) AS DOUBLE) AS sum_disc,
+        |count(*) AS n_rows FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_sort_limit" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q3_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, CAST(round(sum(o_totalprice),2) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey=c_custkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_multijoin" ->
+      """SELECT r_name, n_name, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q5_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |CAST(round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DOUBLE) AS running_spend
+        |FROM orders WHERE o_custkey < 500 ORDER BY o_custkey, rn""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT CAST(round(sum(l_extendedprice*l_discount),2) AS DOUBLE) AS revenue, count(*) AS n_rows
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_active FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority='1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_setop" ->
+      """SELECT count(*) AS n FROM
+        |((SELECT l_partkey FROM lineitem) INTERSECT (SELECT p_partkey FROM part WHERE p_size > 40))""".stripMargin,
+    "q10_events_hourly" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+        |CAST(round(sum(value),4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q11_sessionize" ->
+      """SELECT user_id, count(*) AS n_sessions, max(session_len) AS max_len FROM (
+        |  SELECT user_id, session_id, count(*) AS session_len FROM (
+        |    SELECT user_id,
+        |      sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |          OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |        THEN 1 ELSE 0 END AS is_new FROM events))
+        |  GROUP BY 1,2) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d1_exact_dedup" ->
+      s"""WITH docs AS ($DocsWithDupsSql)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM docs
+        |GROUP BY text HAVING count(*)>1 ORDER BY keep_id""".stripMargin,
+    "d2_norm_dedup" ->
+      s"""WITH docs AS ($DocsWithDupsSql)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM docs
+        |GROUP BY lower(regexp_replace(trim(text),'\\s+',' ','g')) HAVING count(*)>1 ORDER BY keep_id""".stripMargin,
+    "s1_knn_brute" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding, CAST(e.embedding AS DOUBLE[])) AS s
+        |  FROM q, embeddings e WHERE e.vec_id <> q.vec_id)
+        |SELECT query_id, rank, neighbor_id, CAST(round(s,4) AS DOUBLE) AS score FROM (
+        |  SELECT query_id, neighbor_id, s,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "t1_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |CAST(len(regexp_split_to_array(trim(text),'\s+')) AS BIGINT) AS n_words,
+        |CAST(round((length(text) - length(regexp_replace(text,'[.,!?;:]','','g'))) * 1.0
+        |  / greatest(length(text),1), 4) AS DOUBLE) AS punct_ratio,
+        |CAST(round(len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),
+        |  w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) * 1.0
+        |  / greatest(len(regexp_split_to_array(trim(text),'\s+')),1), 4) AS DOUBLE) AS stopword_ratio,
+        |CAST(round(length(regexp_replace(trim(text),'\s+','','g')) * 1.0
+        |  / greatest(len(regexp_split_to_array(trim(text),'\s+')),1), 4) AS DOUBLE) AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_tokencounts" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_split_to_array(trim(text),'\s+')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t3_langid" ->
+      """WITH s AS (SELECT doc_id, lang AS lang_true,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),
+        |    w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),
+        |    w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','den'))) AS s_de,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),
+        |    w -> w IN ('le','la','les','et','est','un','une','que','pour','dans'))) AS s_fr,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),
+        |    w -> w IN ('el','la','los','que','es','un','una','por','para','con'))) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, lang_true,
+        |  CASE WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'und'
+        |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |    WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin
+  )
 }

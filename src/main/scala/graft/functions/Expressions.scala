@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths Spark lacks built-ins for.
+  * Preference order per the build brief: compose built-ins, else a custom
+  * Expression (these), before any UDF. Both evaluate directly over Tungsten
+  * representations (ArrayData / UTF8String) — no boxing, no Row copy — and
+  * stay null-safe. CodegenFallback is acceptable here: each call is O(dim)
+  * or O(len) work, so the virtual-call overhead is a rounding error compared
+  * to a boxed Scala UDF.
+  */
+
+/** Cosine similarity between two ARRAY<FLOAT> columns (returns DOUBLE).
+  * Used by the similarity-search operators: brute-force top-k baseline and
+  * the LSH re-rank step.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i)
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_similarity"
+}
+
+/** 64-bit SimHash over whitespace-separated lowercase words of a STRING
+  * column. Deterministic (splitmix64-mixed word hashes), so results are
+  * stable across runs/partitionings — required for the dedup oracle tests.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    SimHash64.compute(s)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  /** FNV-1a over UTF-8 bytes, then splitmix finalizer. */
+  def wordHash(w: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    mix(h)
+  }
+  def compute(text: String): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = text.length
+    val sb = new java.lang.StringBuilder(16)
+    def flush(): Unit = {
+      if (sb.length() > 0) {
+        val h = wordHash(sb.toString)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        sb.setLength(0)
+      }
+    }
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) flush()
+      else sb.append(Character.toLowerCase(c))
+      i += 1
+    }
+    flush()
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+object functions {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+  def cosine_similarity(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: quality scoring, token counting, language ID, fingerprinting.
+  * Everything except langid/fingerprint is pure `functions._` Column algebra
+  * (whole-stage codegen'd, pushdown-friendly); langid/fingerprint are
+  * deterministic per-row Scala driven through typed map.
+  */
+object TextAnalysis {
+
+  /** Stopword lists per language — tiny, used both for quality scoring and
+    * the n-gram/stopword language-ID heuristic.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "que", "es", "un", "una", "por", "para", "con")
+  )
+
+  /** Punctuation class shared verbatim with the DuckDB oracle SQL. */
+  val PunctClass = "[.,!?;:]"
+
+  private def wordsCol(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Quality metrics: word count, char count, punct ratio, stopword ratio,
+    * mean word length. All expressible in ANSI SQL → full DuckDB oracle.
+    */
+  def quality(documents: DataFrame): DataFrame = {
+    val words = wordsCol(col("text"))
+    val lowerWords = wordsCol(lower(col("text")))
+    val en = Stopwords("en")
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      size(words).cast("bigint").as("n_words"),
+      round(
+        (length(col("text")) - length(regexp_replace(col("text"), PunctClass, ""))).cast("double") /
+          greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
+      round(
+        size(filter(lowerWords, w => w.isin(en: _*))).cast("double") /
+          greatest(size(words), lit(1)), 4).as("stopword_ratio"),
+      round(
+        (length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double")) /
+          greatest(size(words), lit(1)), 4).as("mean_word_len")
+    )
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex token count
+    * (letter runs, single digits, single punctuation marks). Regex kept to a
+    * dialect-neutral subset so the DuckDB oracle is exactly equivalent.
+    */
+  val BpeIshPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(wordsCol(col("text"))).cast("bigint").as("ws_tokens"),
+      regexp_count(col("text"), lit(BpeIshPattern)).cast("bigint").as("bpe_ish_tokens")
+    )
+
+  /** Language ID: stopword-hit scoring over the per-language lists; ties
+    * broken by language order (en, de, fr, es), 'und' (undetermined) when no
+    * stopword hits. Deterministic; accuracy asserted against the generated
+    * `lang` column in tests. Column-only implementation (no UDF): one
+    * aggregate over the words array per language.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val words = wordsCol(lower(col("text")))
+    val scores = Seq("en", "de", "fr", "es").map { l =>
+      size(filter(words, w => w.isin(Stopwords(l): _*))).as(s"score_$l")
+    }
+    val withScores = documents.select(col("doc_id") +: col("lang").as("lang_true") +: scores: _*)
+    val best = Seq("en", "de", "fr", "es").foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestScore), l) =>
+        val s = col(s"score_$l")
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+         when(s > bestScore, s).otherwise(bestScore))
+    }
+    withScores.select(col("doc_id"), col("lang_true"), best._1.as("lang_pred"))
+  }
+
+  /** Rolling (Rabin-Karp) fingerprint over word hashes: k-word windows,
+    * keep the minimum window hash per document (a winnowing-style document
+    * fingerprint). Deterministic.
+    */
+  def fingerprint(documents: DataFrame, window: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val hs = words.map(graft.functions.SimHash64.wordHash)
+      var minH = Long.MaxValue
+      if (hs.length < window) {
+        var h = 0L
+        hs.foreach(x => h = h * 1315423911L + x)
+        minH = h
+      } else {
+        var i = 0
+        while (i + window <= hs.length) {
+          var h = 0L
+          var j = i
+          while (j < i + window) { h = h * 1315423911L + hs(j); j += 1 }
+          if (h < minH) minH = h
+          i += 1
+        }
+      }
+      (id, minH)
+    }.toDF("doc_id", "fingerprint")
+  }
+}

@@ -79,6 +79,12 @@ object RunPipeline {
     val spark = sparkSession(cores)
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // JIT/codegen warmup on a small slice so the measured run reflects
+      // steady-state throughput (the scaling-protocol runs compare N vs 4N
+      // cores, not cold-JVM effects)
+      val warmDir = java.nio.file.Files.createTempDirectory("graft-warm").toString
+      RunPipeline.run(spark, SyntheticTranscripts.generate(spark, math.max(100L, nConvs / 20)),
+        warmDir, schema, fingerprint = "warmup")
       val t0 = System.nanoTime()
       val turns = SyntheticTranscripts.generate(spark, nConvs)
       val res = run(spark, turns, outDir, schema, fingerprint = s"synthetic-$nConvs")

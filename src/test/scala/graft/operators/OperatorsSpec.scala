@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.SimHash64
+
+/** Independent-oracle tests for the training-data operators whose semantics
+  * are not DuckDB-expressible (the driver gives them rows-only checks):
+  * MinHash-LSH vs brute-force Jaccard, SimHash hamming neighbors, LSH ANN
+  * recall vs exact brute force, fingerprint stability, multimodal plumbing.
+  */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("operators-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** documents plus exact and near copies (mirrors SparkEntry.docsWithDups). */
+  private lazy val docsDup = {
+    docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + 100000L)
+    ).unionByName(
+      docs.filter(col("doc_id") % 7 === 0).withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("text", regexp_replace(col("text"), "table", "tables"))
+    )
+  }
+
+  test("exact dedup matches a driver-side group-by-text oracle") {
+    val got = Dedup.exact(docsDup).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = docsDup.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.filter(_.length > 1)
+      .map(g => (g.map(_._1).min, g.length.toLong)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("minhash LSH pairs equal brute-force Jaccard >= threshold (no false positives, high recall)") {
+    val got = Dedup.minhashPairs(docsDup, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute-force oracle on the driver
+    val all = docsDup.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val sh = all.map { case (id, t) => id -> Dedup.shingleHashes(t) }.toMap
+    val want = (for {
+      i <- all.indices.iterator
+      j <- (i + 1) until all.length
+      a = math.min(all(i)._1, all(j)._1)
+      b = math.max(all(i)._1, all(j)._1)
+      if Dedup.exactJaccard(sh(all(i)._1), sh(all(j)._1)) >= 0.8
+    } yield (a, b)).toSet
+
+    // every returned pair is exact-verified → no false positives possible
+    assert(got.subsetOf(want), s"false positives: ${got.diff(want).take(5)}")
+    // recall: LSH with 16 bands of 8 rows at j>=0.8 should catch nearly all
+    val recall = if (want.isEmpty) 1.0 else got.size.toDouble / want.size
+    assert(recall >= 0.95, s"recall $recall (got ${got.size} of ${want.size})")
+    assert(want.nonEmpty, "test corpus must contain near-duplicates")
+  }
+
+  test("simhash: identical texts→same sig; near texts→small hamming; pairs are verified") {
+    assert(SimHash64.compute("the quick brown fox") == SimHash64.compute("the quick brown fox"))
+    assert(SimHash64.compute("The Quick  brown fox") == SimHash64.compute("the quick brown fox"))
+    val a = SimHash64.compute("the quick brown fox jumps over the lazy dog again and again")
+    val b = SimHash64.compute("the quick brown fox jumps over the lazy cat again and again")
+    assert(SimHash64.hamming(a, b) <= 16)
+
+    val pairs = Dedup.simhashPairs(docsDup, maxHamming = 3).collect()
+    assert(pairs.nonEmpty)
+    // exact duplicates must appear with hamming 0
+    val exactIds = docs.filter(col("doc_id") % 5 === 0).select("doc_id").collect().map(_.getLong(0))
+    val got0 = pairs.filter(_.getInt(2) == 0).map(r => (r.getLong(0), r.getLong(1))).toSet
+    exactIds.foreach(id => assert(got0.contains((id, id + 100000L)), s"missing exact pair for $id"))
+  }
+
+  test("ngram jaccard pairs: symmetric-free, thresholded, includes injected near-dups") {
+    val pairs = Dedup.ngramJaccardPairs(docsDup, n = 3, threshold = 0.5).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
+    val gotPairs = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactIds = docs.filter(col("doc_id") % 5 === 0).select("doc_id").collect().map(_.getLong(0))
+    exactIds.foreach(id => assert(gotPairs.contains((id, id + 100000L))))
+  }
+
+  test("brute-force knn is exact: matches a driver-side recompute") {
+    val got = Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 5), k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i) }
+      d / math.sqrt(nx * ny)
+    }
+    val want = (for ((qid, qv) <- all.filter(_._1 < 5)) yield {
+      all.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1, id) }
+    }).flatten.toSet
+    assert(got == want)
+  }
+
+  test("LSH knn achieves >=60% recall@5 vs brute force and is deterministic") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceKnn(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx1 = Similarity.lshKnn(emb, queries, k = 5, nBits = 4, nTables = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx2 = Similarity.lshKnn(emb, queries, k = 5, nBits = 4, nTables = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(approx1 == approx2, "LSH knn must be deterministic")
+    val recall = approx1.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall@5 = $recall")
+  }
+
+  test("cosine_similarity expression: known values and null safety") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 2f), Array(2f, 4f), 1.0),
+      (Array(3f, 4f), Array(4f, 3f), 0.96)
+    ).toDF("a", "b", "want")
+    val got = df.select(graft.functions.functions.cosine_similarity(col("a"), col("b")).as("s"), col("want")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+    val withNull = Seq((Some(Array(1f)), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(withNull.select(graft.functions.functions.cosine_similarity(col("a"), col("b"))).first().isNullAt(0))
+  }
+
+  test("language id predicts mostly en/und on the english-vocab corpus; deterministic") {
+    val preds = TextAnalysis.langId(docs).groupBy("lang_pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(preds.keySet.subsetOf(Set("en", "de", "fr", "es", "und")))
+    assert(preds.getOrElse("en", 0L) + preds.getOrElse("und", 0L) >= docs.count() / 2)
+  }
+
+  test("fingerprint is deterministic and collision-grouping: exact dups share it") {
+    val fp1 = TextAnalysis.fingerprint(docsDup).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = TextAnalysis.fingerprint(docsDup).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp1 == fp2)
+    val exactIds = docs.filter(col("doc_id") % 5 === 0).select("doc_id").collect().map(_.getLong(0))
+    exactIds.foreach(id => assert(fp1(id) == fp1(id + 100000L)))
+  }
+
+  test("multimodal: schema, batch plumbing, frame sampling, determinism") {
+    val assets = Multimodal.generateAssets(spark, 200)
+    assert(assets.schema("content").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(assets, nDim = 16, framesPerVideo = 4)
+    val rows = feats.collect()
+    assert(rows.length == 200)
+    assert(rows.forall(_.getSeq[Float](5).length == 16))
+    // videos sampled to 4 frames, everything else 1
+    rows.foreach { r =>
+      val frames = r.getInt(4)
+      if (r.getString(1).startsWith("video")) assert(frames == 4) else assert(frames == 1)
+    }
+    // determinism across runs & partitionings
+    val again = Multimodal.extractFeatures(assets.repartition(7), nDim = 16, framesPerVideo = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](5)).toMap
+    val first = rows.map(r => r.getLong(0) -> r.getSeq[Float](5)).toMap
+    assert(again == first)
+    val stats = Multimodal.featureStats(feats).collect()
+    assert(stats.length == Multimodal.MediaTypes.size)
+  }
+
+  test("all SparkEntry queries run on sf0.001 and return rows") {
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+}
