@@ -27,7 +27,8 @@ object Aggregate {
   def perConversation(enriched: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
     enriched
-      .withColumn("rn", row_number().over(w))
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("role"),
+        col("n_tokens"), col("n_errors"))
       .withColumn("prev_role", lag("role", 1).over(w))
       .groupBy("conv_id")
       .agg(

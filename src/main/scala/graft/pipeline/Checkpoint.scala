@@ -51,7 +51,7 @@ final class Checkpoint(outDir: String, inputFingerprint: String) {
     * its lineage and atomically replaces the manifest.
     */
   def commitSink(sink: String, rows: Long): Unit = synchronized {
-    val dir = Paths.get(outDir, sink)
+    val dir = Paths.get(outDir, s"category=$sink")
     val files: Seq[String] =
       if (Files.exists(dir))
         Files.list(dir).iterator.asScala

@@ -4,15 +4,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 
-/** P4 — route / fan-out stage: one parsed+enriched pass is persisted, then
-  * four filtered writes (errors, tool_calls, assistant_text, unmatched).
+/** P4 — route / fan-out stage: ONE pass over the parsed+enriched rows,
+  * written with `partitionBy("category")` into the four per-category sinks
+  * (errors, tool_calls, assistant_text, unmatched) as `category=X/`
+  * partition directories.
   *
-  * Skew handling is explicit (north rule): hot conversations (the Zipf head)
-  * would otherwise pin a handful of write tasks, so each sink write is
-  * `repartition(n, conv_id, salt)` with `salt = pmod(hash(turn_idx), S)` —
-  * deterministic, spreads one conversation over at most S tasks while
-  * keeping co-residence for typical conversations. AQE cannot fix skewed
-  * *writes*, only skewed joins, hence the manual salt.
+  * Scale design (this is the 100 TB hot path):
+  *  - Single scan + single shuffle + single write job — NOT four filtered
+  *    writes: 4 passes over 100 TB is 300 TB of wasted scan. Partitioned
+  *    writes give downstream readers partition pruning per sink for free.
+  *  - Skew handled explicitly (north rule): hot conversations (the Zipf
+  *    head) would pin single write tasks, so rows are
+  *    `repartition(n, conv_id, pmod(hash(turn_idx), SaltBuckets))` —
+  *    deterministic salt spreads one conversation over at most SaltBuckets
+  *    tasks while typical conversations stay co-resident. AQE fixes skewed
+  *    joins, not skewed writes, hence the manual salt.
+  *  - Per-sink counts come from one map-side-partial groupBy on the cached
+  *    rows (metadata-light), not from per-row accumulator maps that would
+  *    force an extra row-codec round trip per sink.
   */
 object Route {
 
@@ -22,39 +31,23 @@ object Route {
   def salted(df: DataFrame, partitions: Int): DataFrame =
     df.repartition(partitions, col("conv_id"), pmod(hash(col("turn_idx")), lit(SaltBuckets)))
 
-  /** Write each category to `outDir/<category>` as parquet. Returns per-sink
-    * row counts (from the write-side accumulators).
+  def sinkPath(outDir: String, category: String): String = s"$outDir/category=$category"
+
+  /** One partitioned write job over rows whose placement was already fixed
+    * by the salted repartition of the RAW turns upstream (shuffling the
+    * ~4×-larger parsed token arrays instead would dominate the job — the
+    * cheap representation goes through the shuffle, the parse happens after
+    * it).
     */
-  def writeSinks(
-      enriched: DataFrame,
-      outDir: String,
-      partitions: Int,
-      counters: Map[String, LongAccumulator] = Map.empty,
-      categories: Seq[String] = Category.All
-  ): Map[String, Long] = {
-    val spark = enriched.sparkSession
-    val cached = enriched.persist()
-    try {
-      categories.map { cat =>
-        val sink = cached.filter(col("category") === cat)
-        val acc = counters.get(cat)
-        val counted = acc match {
-          case Some(a) =>
-            // count rows as they stream into the sink write, no extra job
-            sink.map { r => a.add(1L); r }(org.apache.spark.sql.Encoders.row(sink.schema))
-          case None => sink
-        }
-        salted(counted.toDF(), partitions)
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$outDir/$cat")
-        val n = acc.map(_.value.longValue()).getOrElse(
-          spark.read.parquet(s"$outDir/$cat").count())
-        cat -> n
-      }.toMap
-    } finally {
-      cached.unpersist()
-    }
-  }
+  def writePartitioned(enriched: DataFrame, outDir: String, categories: Seq[String]): Unit =
+    enriched.filter(col("category").isin(categories: _*))
+      .write
+      .mode(SaveMode.Overwrite)
+      // dynamic: only the category= partitions present in this job are
+      // replaced — committed sinks (and the manifest) survive a resume
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("category")
+      .parquet(outDir)
 
   /** Routed counts without writing (for tests / the flagship query). */
   def counts(enriched: DataFrame): DataFrame =

@@ -143,14 +143,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val wantCounts = oracleParsed.groupBy(_.category).map { case (k, v) => k -> v.size.toLong }
     assert(res1.routedCounts == wantCounts)
     Category.All.foreach { c =>
-      val n = spark.read.parquet(s"$out/$c").count()
+      val n = spark.read.parquet(s"$out/category=$c").count()
       assert(n == wantCounts(c), s"sink $c")
     }
     // resume: second run with same fingerprint must not rewrite or duplicate
     val res2 = RunPipeline.run(spark, turns, out, fingerprint = "t1")
     assert(res2.routedCounts == wantCounts)
     Category.All.foreach { c =>
-      assert(spark.read.parquet(s"$out/$c").count() == wantCounts(c), s"sink $c after resume")
+      assert(spark.read.parquet(s"$out/category=$c").count() == wantCounts(c), s"sink $c after resume")
     }
   }
 

@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 for CORES in 8 32; do
   for i in $(seq 1 $RUNS); do
     OUT=$(mktemp -d /tmp/graft-scale-XXXX)
-    sbt -batch "runMain graft.pipeline.RunPipeline $NCONVS $OUT $CORES" 2>/dev/null \
+    SPARK_DRIVER_MEM=48g sbt -batch "runMain graft.pipeline.RunPipeline $NCONVS $OUT $CORES" 2>/dev/null \
       | grep -o '\[pipeline\].*' | sed "s/^/cores=$CORES run=$i /"
     rm -rf "$OUT"
   done
