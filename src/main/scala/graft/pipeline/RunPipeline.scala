@@ -19,7 +19,9 @@ object RunPipeline {
       perConversation: DataFrame,
       nTools: Long,
       nConversations: Long,
-      turnsIn: Long
+      turnsIn: Long,
+      routeSecs: Double,
+      aggSecs: Double
   )
 
   def sparkSession(cores: Int, appName: String = "graft-pipeline"): SparkSession =
@@ -35,9 +37,18 @@ object RunPipeline {
   /** Run the full pipeline over an input Dataset[Turn]. Sinks land in
     * `outDir/<category>`; committed sinks are skipped on resume.
     */
+  /** @param sinkMode "parquet" (real partitioned sinks) or "noop" (full
+    *   computation — shuffle, parse, enrich, row materialization — into
+    *   Spark's noop writer; exact per-sink counts still come from the same
+    *   pass via `observe`). noop is the disk-independent configuration the
+    *   scaling protocol gates on: on this sandbox's single virtual disk,
+    *   parquet-sink runs measure the disk, not the engine (a real cluster
+    *   spreads sink writes over many nodes' stores).
+    */
   def run(spark: SparkSession, turns: Dataset[Turn], outDir: String,
           schema: SchemaConfig = SchemaConfig.example,
-          fingerprint: String = ""): Result = {
+          fingerprint: String = "",
+          sinkMode: String = "parquet"): Result = {
     val sc = spark.sparkContext
     val bank = sc.broadcast(PatternBank.compile(schema))
 
@@ -50,45 +61,60 @@ object RunPipeline {
     val ckpt = new Checkpoint(outDir, fingerprint)
     val pending = Category.All.filterNot(ckpt.isCommitted)
 
+    val t0 = System.nanoTime()
+    var observedCounts = Map.empty[String, Long]
     if (pending.nonEmpty) {
       // ONE pass: salted repartition of the RAW turns (cheap representation
       // through the shuffle), parse after placement is fixed (the heavy
       // token arrays never move), broadcast-enrich, partitioned write.
-      // No persist: everything downstream reads the written sinks back with
-      // column pruning, which is far cheaper than caching full parsed rows.
+      // Per-sink counts ride the same pass via observe() — no second scan.
       val saltedTurns = Route.salted(turns.toDF(), partitions).as[Turn]
       val counted = saltedTurns.map { t => turnsIn.add(1L); t }
       val parsed = Parse(counted, bank)
       val enriched = Enrich(parsed.toDF(),
         SyntheticTranscripts.dimTool(spark), SyntheticTranscripts.dimRole(spark))
-      val tw = System.nanoTime()
-      Route.writePartitioned(enriched, outDir, pending)
-      if (sys.env.contains("GRAFT_PROFILE")) println(f"[run] write ${(System.nanoTime()-tw)/1e9}%.2fs")
-    }
 
-    // counts + aggregates read the durable sinks back: partition pruning for
-    // counts, column pruning for the aggregates (a handful of scalar columns
-    // instead of the token arrays)
-    val routed = spark.read.parquet(outDir)
-    val tc = System.nanoTime()
-    val counts = routed.groupBy("category").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (sys.env.contains("GRAFT_PROFILE")) println(f"[run] counts ${(System.nanoTime()-tc)/1e9}%.2fs")
-    pending.foreach { c =>
-      val n = counts.getOrElse(c, 0L)
-      counters.get(c).foreach(_.add(n))
-      ckpt.commitSink(c, n)
-    }
-    val routedCounts = Category.All.map(c => c -> ckpt.committedRows(c).getOrElse(0L)).toMap
+      import org.apache.spark.sql.functions.{col, sum, when}
+      val obs = org.apache.spark.sql.Observation()
+      val countAggs = Category.All.map(c =>
+        sum(when(col("category") === c, 1L).otherwise(0L)).as(c))
+      val observed = enriched.observe(obs, countAggs.head, countAggs.tail: _*)
 
-    val perTool = Aggregate.perTool(routed)
-    val perConv = Aggregate.perConversation(routed)
+      if (sinkMode == "noop")
+        observed.write.format("noop").mode("overwrite").save()
+      else
+        Route.writePartitioned(observed, outDir, pending)
+
+      val metrics = obs.get
+      observedCounts = Category.All.map(c =>
+        c -> metrics.get(c).map(_.asInstanceOf[Long]).getOrElse(0L)).toMap
+      pending.foreach { c =>
+        val n = observedCounts.getOrElse(c, 0L)
+        counters.get(c).foreach(_.add(n))
+        ckpt.commitSink(c, n)
+      }
+    }
+    val routeSecs = (System.nanoTime() - t0) / 1e9
+    val routedCounts =
+      if (sinkMode == "noop") observedCounts
+      else Category.All.map(c => c -> ckpt.committedRows(c).getOrElse(0L)).toMap
+
+    // aggregates: parquet mode reads the durable sinks back (column pruning
+    // reads a handful of scalar columns, not the token arrays); noop mode
+    // recomputes from the logical pipeline
     val ta = System.nanoTime()
+    val aggSource =
+      if (sinkMode == "noop") {
+        val salted = Route.salted(turns.toDF(), partitions).as[Turn]
+        Enrich(Parse(salted, bank).toDF(),
+          SyntheticTranscripts.dimTool(spark), SyntheticTranscripts.dimRole(spark))
+      } else spark.read.parquet(outDir)
+    val perTool = Aggregate.perTool(aggSource)
+    val perConv = Aggregate.perConversation(aggSource)
     val nt = perTool.count()
-    val ta2 = System.nanoTime()
     val nc = perConv.count()
-    if (sys.env.contains("GRAFT_PROFILE")) println(f"[run] perTool ${(ta2-ta)/1e9}%.2fs perConv ${(System.nanoTime()-ta2)/1e9}%.2fs")
-    Result(routedCounts, perTool, perConv, nt, nc, turnsIn.value)
+    val aggSecs = (System.nanoTime() - ta) / 1e9
+    Result(routedCounts, perTool, perConv, nt, nc, turnsIn.value, routeSecs, aggSecs)
   }
 
   /** Stage the synthetic transcript table as parquet (the "Iceberg table"
@@ -112,6 +138,8 @@ object RunPipeline {
     val cores = if (args.length > 2) args(2).toInt else Runtime.getRuntime.availableProcessors()
     val schema = if (args.length > 3) SchemaConfig.fromFile(args(3)) else SchemaConfig.example
 
+    val sinkMode = sys.env.getOrElse("GRAFT_SINK_MODE", "parquet")
+
     val spark = sparkSession(cores)
     spark.sparkContext.setLogLevel("WARN")
     try {
@@ -124,14 +152,17 @@ object RunPipeline {
       // cores, not cold-JVM effects)
       val warmDir = java.nio.file.Files.createTempDirectory("graft-warm").toString
       run(spark, stageInput(spark, math.max(100L, nConvs / 20), s"/tmp/graft-input-warm-$nConvs"),
-        warmDir, schema, fingerprint = "warmup")
+        warmDir, schema, fingerprint = "warmup", sinkMode = sinkMode)
 
       val t0 = System.nanoTime()
-      val res = run(spark, turns, outDir, schema, fingerprint = s"synthetic-$nConvs")
+      val res = run(spark, turns, outDir, schema, fingerprint = s"synthetic-$nConvs",
+        sinkMode = sinkMode)
       val secs = (System.nanoTime() - t0) / 1e9
       val turnsTotal = res.routedCounts.values.sum
       println(f"[pipeline] convs=$nConvs turns=$turnsTotal sinks=${res.routedCounts} " +
-        f"tools=${res.nTools} convStats=${res.nConversations} wall=$secs%.2fs thru=${turnsTotal / secs}%.0f turns/s")
+        f"tools=${res.nTools} convStats=${res.nConversations} mode=$sinkMode " +
+        f"route=${res.routeSecs}%.2fs agg=${res.aggSecs}%.2fs wall=$secs%.2fs " +
+        f"thru=${turnsTotal / res.routeSecs}%.0f turns/s")
     } finally spark.stop()
   }
 }

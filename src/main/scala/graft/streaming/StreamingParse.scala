@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.lexer.PatternBank
+import graft.pipeline.{Category, Parse, ParsedTurn, Turn}
+
+/** Structured Streaming face of the engine: the reference's pluggable
+  * pull-stream input (/root/reference/src/lexer/lexer_stream.rs:3-5) maps to
+  * `readStream` over the same transcript table layout; the SAME pure parse
+  * function runs inside the streaming plan, so batch and streaming parses
+  * are equal by construction (asserted in StreamingSpec).
+  */
+object StreamingParse {
+
+  /** File-stream source over a transcript parquet directory. */
+  def turnsStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 4): Dataset[Turn] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Turn]].schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .as[Turn]
+  }
+
+  /** Streaming parse: identical mapPartitions + broadcast bank as batch P2. */
+  def parsedStream(turns: Dataset[Turn], bank: Broadcast[PatternBank]): Dataset[ParsedTurn] =
+    Parse(turns, bank)
+
+  /** Watermarked tumbling-window per-category counts — the streaming
+    * analogue of the route-stage counts.
+    */
+  def windowedCategoryCounts(parsed: Dataset[ParsedTurn],
+                             watermark: String = "10 minutes",
+                             windowLen: String = "1 hour"): DataFrame =
+    parsed.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("category"))
+      .agg(count(lit(1)).as("n_turns"), sum("n_errors").as("n_errors"))
+
+  /** Per-conversation running progress. */
+  final case class ConvProgress(conv_id: String, turns_seen: Long, errors_seen: Long, last_turn_idx: Int)
+
+  /** Custom streaming state via mapGroupsWithState: running per-conversation
+    * turn/error counters (the stateful-operator surface of the engine).
+    */
+  def conversationProgress(parsed: Dataset[ParsedTurn]): Dataset[ConvProgress] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.groupByKey(_.conv_id)
+      .mapGroupsWithState[ConvProgress, ConvProgress](GroupStateTimeout.NoTimeout()) {
+        case (convId, turns, state: GroupState[ConvProgress]) =>
+          val prev = state.getOption.getOrElse(ConvProgress(convId, 0L, 0L, -1))
+          var n = prev.turns_seen
+          var errs = prev.errors_seen
+          var last = prev.last_turn_idx
+          turns.foreach { t =>
+            n += 1
+            errs += t.n_errors
+            if (t.turn_idx > last) last = t.turn_idx
+          }
+          val next = ConvProgress(convId, n, errs, last)
+          state.update(next)
+          next
+      }
+  }
+}

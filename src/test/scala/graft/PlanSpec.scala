@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.datagen.SyntheticTranscripts
+import graft.lexer.PatternBank
+import graft.pipeline.{Enrich, Parse, Route}
+
+/** Physical-plan audits: the plans we ship are the plans we designed —
+  * filters reach the parquet scan, projections prune columns, dimension
+  * joins broadcast, the route write has exactly one shuffle. These guard
+  * the 100 TB properties that small-scale correctness tests can't see.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("q6 filter-agg pushes predicates into the parquet scan") {
+    val plan = SparkEntry.queries("q6_filter_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("l_shipdate"), plan.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    // the scan must not read unrelated columns
+    assert(!plan.contains("l_returnflag"))
+  }
+
+  test("t1 quality reads only doc_id and text (column pruning)") {
+    val plan = planOf(SparkEntry.queries("t1_quality")(spark, sfDir))
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("doc_id") && scanLine.contains("text"))
+    assert(!scanLine.contains("lang") && !scanLine.contains("source"))
+  }
+
+  test("q4 multijoin broadcasts nation and region (no shuffle join for dims)") {
+    val plan = planOf(SparkEntry.queries("q4_multijoin")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("route write plan has exactly one exchange (the salted repartition)") {
+    import spark.implicits._
+    val turns = SyntheticTranscripts.generate(spark, 20L)
+    val bank = spark.sparkContext.broadcast(PatternBank.example)
+    val salted = Route.salted(turns.toDF(), 8).as[graft.pipeline.Turn]
+    val enriched = Enrich(Parse(salted, bank).toDF(),
+      SyntheticTranscripts.dimTool(spark), SyntheticTranscripts.dimRole(spark))
+    val plan = planOf(enriched)
+    val nExchanges = plan.linesIterator.count(l => l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(nExchanges == 1, s"expected exactly the salted repartition exchange, got $nExchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("whole-stage codegen covers the relational queries") {
+    val df = SparkEntry.queries("q1_agg")(spark, sfDir)
+    df.collect() // finalize the adaptive plan — codegen spans appear post-execution
+    val plan = planOf(df)
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("WholeStageCodegen"))
+  }
+
+  test("brute-force knn broadcasts the query side (no corpus shuffle before scoring)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = planOf(graft.operators.Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 3), 3))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.datagen.SyntheticTranscripts
+import graft.lexer.PatternBank
+import graft.pipeline.Parse
+
+/** Streaming ≡ batch: drive the streaming parse + windowed aggregation over
+  * a staged parquet directory with the memory sink and assert the results
+  * equal the batch computation on the same data.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("streaming windowed category counts equal the batch computation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    SyntheticTranscripts.generate(spark, 80L).repartition(6).write.mode("overwrite").parquet(dir)
+    val bank = spark.sparkContext.broadcast(PatternBank.example)
+
+    val stream = StreamingParse.windowedCategoryCounts(
+      StreamingParse.parsedStream(StreamingParse.turnsStream(spark, dir, maxFilesPerTrigger = 2), bank))
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("cat_counts")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT window.start AS ws, category, n_turns, n_errors FROM cat_counts")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+      val batchTurns = spark.read.parquet(dir).as[graft.pipeline.Turn]
+      val want = Parse(batchTurns, bank).toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("category"))
+        .agg(count(lit(1)).as("n_turns"), sum("n_errors").as("n_errors"))
+        .select(col("window.start").as("ws"), col("category"), col("n_turns"), col("n_errors"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful per-conversation progress accumulates across triggers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-in2").toString
+    SyntheticTranscripts.generate(spark, 30L).repartition(5).write.mode("overwrite").parquet(dir)
+    val bank = spark.sparkContext.broadcast(PatternBank.example)
+
+    val progress = StreamingParse.conversationProgress(
+      StreamingParse.parsedStream(StreamingParse.turnsStream(spark, dir, maxFilesPerTrigger = 1), bank))
+    val q = progress.toDF().writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("conv_progress")
+      .start()
+    try {
+      q.processAllAvailable()
+      // latest state per conversation must equal the batch totals
+      val got = spark.sql(
+        """SELECT conv_id, max(turns_seen) AS turns_seen, max(errors_seen) AS errors_seen
+          |FROM conv_progress GROUP BY conv_id""".stripMargin)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      val batch = Parse(spark.read.parquet(dir).as[graft.pipeline.Turn], bank)
+        .toDF().groupBy("conv_id")
+        .agg(count(lit(1)).as("n"), sum("n_errors").as("e"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+}
