@@ -69,7 +69,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.collect() // finalize the adaptive plan — codegen spans appear post-execution
     val plan = planOf(df)
     assert(plan.contains("isFinalPlan=true"))
-    assert(plan.contains("WholeStageCodegen"))
+    // codegen stages print as "*(n)" in the adaptive plan string
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined, plan)
   }
 
   test("brute-force knn broadcasts the query side (no corpus shuffle before scoring)") {
