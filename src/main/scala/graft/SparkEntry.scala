@@ -50,8 +50,7 @@ object SparkEntry {
     */
   private def enrichedTranscripts(spark: SparkSession, dir: String): DataFrame = {
     val turns = SyntheticTranscripts.generate(spark, SyntheticTranscripts.convsForSfDir(dir))
-    val bank = spark.sparkContext.broadcast(PatternBank.example)
-    Enrich(Parse(turns, bank).toDF(),
+    Enrich(Parse.expr(turns.toDF(), PatternBank.example),
       SyntheticTranscripts.dimTool(spark), SyntheticTranscripts.dimRole(spark))
   }
 

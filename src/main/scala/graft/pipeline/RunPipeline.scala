@@ -65,18 +65,18 @@ object RunPipeline {
     var observedCounts = Map.empty[String, Long]
     if (pending.nonEmpty) {
       // ONE pass: salted repartition of the RAW turns (cheap representation
-      // through the shuffle), parse after placement is fixed (the heavy
-      // token arrays never move), broadcast-enrich, partitioned write.
-      // Per-sink counts ride the same pass via observe() — no second scan.
-      val saltedTurns = Route.salted(turns.toDF(), partitions).as[Turn]
-      val counted = saltedTurns.map { t => turnsIn.add(1L); t }
-      val parsed = Parse(counted, bank)
-      val enriched = Enrich(parsed.toDF(),
+      // through the shuffle), expression-based parse after placement is
+      // fixed (the heavy token arrays never move and rows never leave
+      // Tungsten form), broadcast-enrich, partitioned write. Per-sink
+      // counts and the rows-in metric ride the same pass via observe().
+      val salted = Route.salted(turns.toDF(), partitions)
+      val parsed = Parse.expr(salted, bank.value)
+      val enriched = Enrich(parsed,
         SyntheticTranscripts.dimTool(spark), SyntheticTranscripts.dimRole(spark))
 
-      import org.apache.spark.sql.functions.{col, sum, when}
+      import org.apache.spark.sql.functions.{col, count, lit, sum, when}
       val obs = org.apache.spark.sql.Observation()
-      val countAggs = Category.All.map(c =>
+      val countAggs = count(lit(1)).as("_turns_in") +: Category.All.map(c =>
         sum(when(col("category") === c, 1L).otherwise(0L)).as(c))
       val observed = enriched.observe(obs, countAggs.head, countAggs.tail: _*)
 
@@ -86,6 +86,7 @@ object RunPipeline {
         Route.writePartitioned(observed, outDir, pending)
 
       val metrics = obs.get
+      turnsIn.add(metrics.get("_turns_in").map(_.asInstanceOf[Long]).getOrElse(0L))
       observedCounts = Category.All.map(c =>
         c -> metrics.get(c).map(_.asInstanceOf[Long]).getOrElse(0L)).toMap
       pending.foreach { c =>
@@ -105,8 +106,8 @@ object RunPipeline {
     val ta = System.nanoTime()
     val aggSource =
       if (sinkMode == "noop") {
-        val salted = Route.salted(turns.toDF(), partitions).as[Turn]
-        Enrich(Parse(salted, bank).toDF(),
+        val salted = Route.salted(turns.toDF(), partitions)
+        Enrich(Parse.expr(salted, bank.value),
           SyntheticTranscripts.dimTool(spark), SyntheticTranscripts.dimRole(spark))
       } else spark.read.parquet(outDir)
     val perTool = Aggregate.perTool(aggSource)
@@ -142,6 +143,9 @@ object RunPipeline {
 
     val spark = sparkSession(cores)
     spark.sparkContext.setLogLevel("WARN")
+    val stageMetrics = if (sys.env.contains("GRAFT_STAGES")) {
+      val l = new StageMetrics; spark.sparkContext.addSparkListener(l); Some(l)
+    } else None
     try {
       // input staged once (untimed), shared across scaling runs
       val inDir = s"/tmp/graft-input-$nConvs"
@@ -163,6 +167,7 @@ object RunPipeline {
         f"tools=${res.nTools} convStats=${res.nConversations} mode=$sinkMode " +
         f"route=${res.routeSecs}%.2fs agg=${res.aggSecs}%.2fs wall=$secs%.2fs " +
         f"thru=${turnsTotal / res.routeSecs}%.0f turns/s")
+      stageMetrics.foreach(l => print(l.report()))
     } finally spark.stop()
   }
 }

@@ -49,6 +49,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.min >= 3)
   }
 
+  test("expression-based parse equals the typed path on every column") {
+    import spark.implicits._
+    val typed = Parse(turns, spark.sparkContext.broadcast(bank)).toDF()
+    val viaExpr = Parse.expr(turns.toDF(), bank)
+    assert(viaExpr.schema.map(f => (f.name, f.dataType)) ==
+      typed.schema.map(f => (f.name, f.dataType)))
+    val a = viaExpr.orderBy("conv_id", "turn_idx").collect()
+    val b = typed.orderBy("conv_id", "turn_idx").collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"\nexpr : $x\ntyped: $y") }
+  }
+
   test("parse stage equals the naive oracle row-for-row") {
     import spark.implicits._
     val parsed = Parse(turns, spark.sparkContext.broadcast(bank))
