@@ -28,7 +28,9 @@ object RunPipeline {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", math.max(8, cores * 2).toString)
+      // 4 waves per core: smooths stragglers at every core count without
+      // AQE needing to split (AQE still coalesces tiny partitions)
+      .config("spark.sql.shuffle.partitions", math.max(16, cores * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -127,7 +129,10 @@ object RunPipeline {
     import spark.implicits._
     val marker = java.nio.file.Paths.get(dir, "_SUCCESS")
     if (!java.nio.file.Files.exists(marker)) {
+      // fixed 64-file layout regardless of staging parallelism: the scan
+      // stage must have enough splits to keep any core count busy
       SyntheticTranscripts.generate(spark, nConvs)
+        .repartition(64)
         .write.mode("overwrite").parquet(dir)
     }
     spark.read.parquet(dir).as[Turn]
@@ -166,7 +171,7 @@ object RunPipeline {
       println(f"[pipeline] convs=$nConvs turns=$turnsTotal sinks=${res.routedCounts} " +
         f"tools=${res.nTools} convStats=${res.nConversations} mode=$sinkMode " +
         f"route=${res.routeSecs}%.2fs agg=${res.aggSecs}%.2fs wall=$secs%.2fs " +
-        f"thru=${turnsTotal / res.routeSecs}%.0f turns/s")
+        f"thru=${turnsTotal / math.max(res.routeSecs, 0.001)}%.0f turns/s")
       stageMetrics.foreach(l => print(l.report()))
     } finally spark.stop()
   }
