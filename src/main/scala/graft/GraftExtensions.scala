@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{CosineSimilarity, ParseTurnExpression, SimHash64}
+import graft.lexer.PatternBank
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so the whole surface is reachable from
+  * plain `spark.sql(...)`:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   or SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  *   SELECT simhash64(text), cosine_similarity(a, b),
+  *          parse_turn(text, role, tool) FROM ...
+  *
+  * `parse_turn` compiles the example schema bank once per JVM; a custom
+  * schema is a library call (Parse.expr with your own PatternBank).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(simhashDesc)
+    ext.injectFunction(cosineDesc)
+    ext.injectFunction(parseTurnDesc)
+  }
+}
+
+object GraftExtensions {
+  private lazy val exampleBank: PatternBank = PatternBank.example
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    args =>
+      if (args.length == n) build(args)
+      else throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${args.length}")
+
+  val simhashDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash of the text's words"),
+      arity("simhash64", 1)(args => SimHash64(args.head)))
+
+  val cosineDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float arrays"),
+      arity("cosine_similarity", 2)(args => CosineSimilarity(args(0), args(1))))
+
+  val parseTurnDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("parse_turn"),
+      info("parse_turn", "parse_turn(text, role, tool) - tokenize + extract routing fields"),
+      arity("parse_turn", 3)(args => ParseTurnExpression(args(0), args(1), args(2), exampleBank)))
+
+  /** Register on an existing session (tests / spark-shell convenience). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    Seq(simhashDesc, cosineDesc, parseTurnDesc).foreach { case (id, inf, builder) =>
+      reg.registerFunction(id, inf, builder)
+    }
+  }
+}

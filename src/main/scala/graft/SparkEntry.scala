@@ -184,6 +184,11 @@ object SparkEntry {
       Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 5, nBits = 4)
         .orderBy("query_id", "rank")
     }),
+    "s3_knn_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5, nCells = 16, nProbe = 6)
+        .orderBy("query_id", "rank")
+    }),
 
     // ---- text analysis ----
     "t1_quality" -> ((s, dir) =>

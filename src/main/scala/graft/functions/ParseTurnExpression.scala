@@ -202,6 +202,10 @@ object ParseTurnExpression {
   def parseTsMicros(bytes: Array[Byte], start: Int, end: Int): java.lang.Long = {
     val len = end - start
     if (len != 19 && len != 23) return null
+    // positional sanity so a non-example ts schema degrades to null rather
+    // than garbage: separators at the yyyy-MM-dd HH:mm:ss positions
+    if (bytes(start + 4) != '-' || bytes(start + 7) != '-' ||
+        bytes(start + 13) != ':' || bytes(start + 16) != ':') return null
     @inline def d2(off: Int): Int =
       (bytes(start + off) - '0') * 10 + (bytes(start + off + 1) - '0')
     val year = d2(0) * 100 + d2(2)

@@ -61,6 +61,83 @@ object Similarity {
     bucket
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: a small
+    * deterministic k-means (Lloyd on a fixed sample, driver-side) defines
+    * `nCells` centroids; corpus vectors are assigned to their nearest cell
+    * (one pass, broadcast centroids); queries probe the `nProbe` nearest
+    * cells and re-rank candidates by exact cosine. At 100 TB only
+    * corpus/nCells·nProbe of the data is scored per query and the cell
+    * assignment is a parquet-persistable index column.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+             nCells: Int = 16, nProbe: Int = 4, sampleSize: Int = 256,
+             iterations: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // deterministic training sample: smallest vec_ids
+    val sample = corpus.orderBy(col("vec_id")).limit(sampleSize)
+      .select("embedding").as[Array[Float]].collect()
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    // init: evenly-strided sample vectors; refine with Lloyd iterations
+    var centroids = Array.tabulate(math.min(nCells, sample.length)) { c =>
+      sample((c.toLong * sample.length / math.min(nCells, sample.length)).toInt).clone()
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    def nearest(v: Array[Float], cs: Array[Array[Float]]): Int = {
+      var best = 0; var bestS = Double.MinValue
+      var c = 0
+      while (c < cs.length) { val s = cos(v, cs(c)); if (s > bestS) { bestS = s; best = c }; c += 1 }
+      best
+    }
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val assigned = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) => (nearest(emb, bc.value), id, emb) }
+      .toDF("cell", "id", "emb")
+
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, emb) =>
+        bc.value.indices.map(c => (c, cos(emb, bc.value(c))))
+          .sortBy(-_._2).take(nProbe)
+          .map { case (c, _) => (c, qid, emb) }
+      }.toDF("cell", "query_id", "q_emb")
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine_similarity(col("q_emb"), col("emb")).as("score"))
+      .groupBy("query_id", "neighbor_id").agg(max("score").as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
+  }
+
   /** LSH-bucketed approximate top-k: `nTables` independent hyperplane sets
     * (standard multi-table LSH — recall is 1-(1-p^b)^L), each probed at the
     * query's bucket plus all 1-bit-flip neighbor buckets (multi-probe);

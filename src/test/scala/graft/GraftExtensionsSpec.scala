@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The SQL surface: engine expressions registered via SparkSessionExtensions
+  * are callable from plain spark.sql.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("extensions-spec")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("simhash64 and cosine_similarity work from SQL") {
+    val r = spark.sql(
+      """SELECT simhash64('the quick brown fox') AS h,
+        |       cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+      .first()
+    assert(r.getLong(0) == graft.functions.SimHash64.compute("the quick brown fox"))
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("parse_turn works from SQL and extracts routing fields") {
+    import spark.implicits._
+    Seq(("c1", 0, "assistant", null: String,
+      "2015-03-23 08:09:17,637 ERROR [main] x.Y: caught IOException at /tmp/f code 7\n"))
+      .toDF("conv_id", "turn_idx", "role", "tool", "text")
+      .createOrReplaceTempView("turns_sql")
+    val row = spark.sql(
+      "SELECT p.* FROM (SELECT parse_turn(text, role, tool) AS p FROM turns_sql)").first()
+    val schema = graft.functions.ParseTurnExpression.schema
+    val cat = row.getString(schema.fieldIndex("category"))
+    assert(cat == "errors")
+    assert(row.getString(schema.fieldIndex("first_ts")) == "2015-03-23 08:09:17,637")
+    assert(row.getString(schema.fieldIndex("error_signature")).startsWith("<ts> <loglevel> <thread_identifier>"))
+  }
+}

@@ -128,6 +128,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("IVF knn: deterministic, high recall with nProbe=6/16 cells") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceKnn(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf1 = Similarity.ivfKnn(emb, queries, k = 5, nCells = 16, nProbe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf2 = Similarity.ivfKnn(emb, queries, k = 5, nCells = 16, nProbe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf1 == ivf2, "IVF knn must be deterministic")
+    val recall = ivf1.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall@5 = $recall")
+  }
+
   test("cosine_similarity expression: known values and null safety") {
     import spark.implicits._
     val df = Seq(
