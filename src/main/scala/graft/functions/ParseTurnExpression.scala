@@ -4,14 +4,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import graft.lexer.{ByteTokenizer, PatternBank, TokenType}
 import graft.pipeline.Category
-
-import scala.collection.mutable.ArrayBuffer
 
 /** `parse_turn(text, role, tool)` — the whole parse stage (SURVEY.md §2.2 P2)
   * as ONE native Catalyst expression: tokenize the text's UTF-8 bytes with
@@ -88,13 +84,42 @@ object ParseTurnExpression {
   private val CAT_UNMATCHED = UTF8String.fromString(Category.Unmatched)
   private val TS_PLACEHOLDER = "<ts>"
 
+  /** Reusable per-thread token-span scratch (4 ints per token: packed
+    * type/schema, start, end, line). Thread-local because one bank/expression
+    * can be shared across a stage's tasks; steady-state this allocates
+    * nothing.
+    */
+  private val scratchTl: ThreadLocal[SpanBuf] =
+    ThreadLocal.withInitial(() => new SpanBuf)
+
+  private final class SpanBuf {
+    var a: Array[Int] = new Array[Int](4 * 64)
+    var n: Int = 0 // token count
+    def reset(): Unit = n = 0
+    def add(tt: Byte, sid: Int, start: Int, end: Int, line: Int): Unit = {
+      if (4 * n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+      val o = 4 * n
+      a(o) = (tt.toInt << 24) | (sid & 0xFFFFFF)
+      a(o + 1) = start
+      a(o + 2) = end
+      a(o + 3) = line
+      n += 1
+    }
+    @inline def tt(i: Int): Byte = (a(4 * i) >> 24).toByte
+    @inline def sid(i: Int): Int = { val s = a(4 * i) & 0xFFFFFF; if (s == 0xFFFFFF) -1 else s }
+    @inline def start(i: Int): Int = a(4 * i + 1)
+    @inline def end(i: Int): Int = a(4 * i + 2)
+    @inline def line(i: Int): Int = a(4 * i + 3)
+  }
+
   def parse(bank: PatternBank, text: UTF8String, role: UTF8String, tool: UTF8String): InternalRow = {
     val bytes = if (text == null) Array.emptyByteArray else text.getBytes
     val loglevelId = bank.varId("loglevel")
     val threadId = bank.varId("thread_identifier")
+    val spans = scratchTl.get()
+    spans.reset()
 
-    val rows = new ArrayBuffer[InternalRow](16)
-    // per-token bookkeeping collected in one pass
+    // per-token bookkeeping collected in one pass over spans
     var nEol = 0
     var lastWasEol = false
     var nTs = 0
@@ -103,51 +128,38 @@ object ParseTurnExpression {
     var tsSchemaId = -1
     var nErrors = 0
     var firstErrorLine = -1
-    var toolInvocation: UTF8String = null
+    var toolInvStart = -1
+    var toolInvEnd = -1
     val isToolRole = role != null && role.equals(TOOL)
 
-    val sink = new ByteTokenizer.Sink {
+    ByteTokenizer.tokenize(bank, bytes, new ByteTokenizer.Sink {
       override def token(tt: Byte, sid: Int, start: Int, end: Int, line: Int): Unit = {
-        val value = UTF8String.fromBytes(bytes, start, end - start)
-        val row = new GenericInternalRow(4)
-        row.update(0, tt)
-        row.update(1, sid)
-        row.update(2, value)
-        row.update(3, line)
-        rows += row
+        spans.add(tt, sid, start, end, line)
         lastWasEol = tt == TokenType.StaticTextWithEndLine
         if (lastWasEol) nEol += 1
         else if (tt == TokenType.Timestamp) {
           nTs += 1
           if (firstTsStart < 0) { firstTsStart = start; firstTsEnd = end; tsSchemaId = sid }
         } else if (tt == TokenType.Variable && sid == loglevelId) {
-          if (value.equals(ERROR) || value.equals(FATAL)) {
+          val len = end - start
+          if (len == 5 && matches5(bytes, start)) {
             nErrors += 1
             if (firstErrorLine < 0) firstErrorLine = line
           }
         } else if (tt == TokenType.Variable && sid == threadId) {
-          if (isToolRole && toolInvocation == null && end - start >= 2)
-            toolInvocation = UTF8String.fromBytes(bytes, start + 1, end - start - 2)
+          if (isToolRole && toolInvStart < 0 && end - start >= 2) {
+            toolInvStart = start + 1; toolInvEnd = end - 1
+          }
         }
       }
-    }
-    ByteTokenizer.tokenize(bank, bytes, sink)
+    })
 
-    val nTokens = rows.length
+    val nTokens = spans.n
     val nLines = 1 + nEol - (if (lastWasEol) 1 else 0)
     // events split before each Timestamp token except a leading one
     val nEvents =
       if (nTokens == 0) 0
-      else 1 + nTs - (if (rows(0).getByte(0) == TokenType.Timestamp) 1 else 0)
-
-    val firstTs =
-      if (firstTsStart < 0) null
-      else UTF8String.fromBytes(bytes, firstTsStart, firstTsEnd - firstTsStart)
-    val tsMicros =
-      if (firstTsStart < 0) null
-      else parseTsMicros(bytes, firstTsStart, firstTsEnd)
-
-    val errorSig = if (firstErrorLine < 0) null else signature(bank, rows, firstErrorLine)
+      else 1 + nTs - (if (spans.tt(0) == TokenType.Timestamp) 1 else 0)
 
     val category =
       if (nErrors > 0) CAT_ERRORS
@@ -155,36 +167,71 @@ object ParseTurnExpression {
       else if (role != null && role.equals(ASSISTANT)) CAT_ASSIST
       else CAT_UNMATCHED
 
-    val out = new GenericInternalRow(12)
-    out.update(0, new GenericArrayData(rows.toArray[Any]))
-    out.update(1, nTokens)
-    out.update(2, nLines)
-    out.update(3, nEvents)
-    out.update(4, firstTsStart >= 0)
-    out.update(5, firstTs)
-    out.update(6, tsSchemaId)
-    out.update(7, tsMicros)
-    out.update(8, nErrors)
-    out.update(9, errorSig)
-    out.update(10, if (isToolRole) toolInvocation else null)
-    out.update(11, category)
-    out
+    // Build the output struct directly in Tungsten format: one UnsafeRow
+    // buffer per call (fresh buffer — the returned row must outlive this
+    // call), zero per-token objects (mirrors GenerateUnsafeProjection's
+    // array-of-struct pattern).
+    val rw = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(
+      12, 64 + bytes.length * 2)
+    rw.resetRowWriter()
+    rw.zeroOutNullBytes()
+
+    // field 0: tokens ARRAY<STRUCT<byte,int,string,int>>
+    val arrCursor = rw.cursor()
+    val aw = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeArrayWriter(rw, 8)
+    aw.initialize(nTokens)
+    val sw = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(aw, 4)
+    var i = 0
+    while (i < nTokens) {
+      val elemCursor = aw.cursor()
+      sw.resetRowWriter()
+      sw.zeroOutNullBytes()
+      sw.write(0, spans.tt(i))
+      sw.write(1, spans.sid(i))
+      sw.write(2, bytes, spans.start(i), spans.end(i) - spans.start(i))
+      sw.write(3, spans.line(i))
+      aw.setOffsetAndSizeFromPreviousCursor(i, elemCursor)
+      i += 1
+    }
+    rw.setOffsetAndSizeFromPreviousCursor(0, arrCursor)
+
+    rw.write(1, nTokens)
+    rw.write(2, nLines)
+    rw.write(3, nEvents)
+    rw.write(4, firstTsStart >= 0)
+    if (firstTsStart < 0) rw.setNullAt(5)
+    else rw.write(5, bytes, firstTsStart, firstTsEnd - firstTsStart)
+    rw.write(6, tsSchemaId)
+    val tsMicros = if (firstTsStart < 0) null else parseTsMicros(bytes, firstTsStart, firstTsEnd)
+    if (tsMicros == null) rw.setNullAt(7) else rw.write(7, tsMicros.longValue())
+    rw.write(8, nErrors)
+    if (firstErrorLine < 0) rw.setNullAt(9)
+    else rw.write(9, signature(bank, bytes, spans, firstErrorLine))
+    if (isToolRole && toolInvStart >= 0) rw.write(10, bytes, toolInvStart, toolInvEnd - toolInvStart)
+    else rw.setNullAt(10)
+    rw.write(11, category)
+    rw.getRow
   }
+
+  /** value is exactly "ERROR" or "FATAL" (both length 5). */
+  @inline private def matches5(b: Array[Byte], s: Int): Boolean =
+    (b(s) == 'E' && b(s + 1) == 'R' && b(s + 2) == 'R' && b(s + 3) == 'O' && b(s + 4) == 'R') ||
+    (b(s) == 'F' && b(s + 1) == 'A' && b(s + 2) == 'T' && b(s + 3) == 'A' && b(s + 4) == 'L')
 
   /** Log template of one line: variables → `<name>`, timestamps → `<ts>`,
     * static text verbatim; trailing newline dropped (mirrors
     * graft.pipeline.Parse.signatureOfLine, the test oracle).
     */
-  private def signature(bank: PatternBank, rows: ArrayBuffer[InternalRow], lineNum: Int): UTF8String = {
+  private def signature(bank: PatternBank, bytes: Array[Byte], spans: SpanBuf, lineNum: Int): UTF8String = {
     val sb = new java.lang.StringBuilder(64)
     var i = 0
-    while (i < rows.length) {
-      val r = rows(i)
-      if (r.getInt(3) == lineNum) {
-        r.getByte(0) match {
+    while (i < spans.n) {
+      if (spans.line(i) == lineNum) {
+        spans.tt(i) match {
           case TokenType.Timestamp => sb.append(TS_PLACEHOLDER)
-          case TokenType.Variable  => sb.append('<').append(bank.varName(r.getInt(1))).append('>')
-          case _                   => sb.append(r.getUTF8String(2).toString)
+          case TokenType.Variable  => sb.append('<').append(bank.varName(spans.sid(i))).append('>')
+          case _ => sb.append(new String(bytes, spans.start(i), spans.end(i) - spans.start(i),
+            java.nio.charset.StandardCharsets.UTF_8))
         }
       }
       i += 1
