@@ -75,8 +75,12 @@ object Bench {
       val allTimes = ("pipeline_parse_route" -> pipeSecs) +: qTimes
       val total = allTimes.map(_._2).sum
       val qs = allTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-      println(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"turns":$turns,"seconds":$pipeSecs%.3f,"turns_per_sec":$turnsPerSec%.1f,"cores":$cpus}}""")
+      val json =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"turns":$turns,"seconds":$pipeSecs%.3f,"turns_per_sec":$turnsPerSec%.1f,"cores":$cpus}}"""
+      println(json)
+      // durable copy so the bench signal survives even if a wrapper process
+      // decorates stdout (round 1's BENCH json came back unparseable)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/bench_latest.json"), json + "\n")
     } finally spark.stop()
   }
 }

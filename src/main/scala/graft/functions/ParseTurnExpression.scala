@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, UnsafeArrayWriter, UnsafeRowWriter}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import graft.lexer.{ByteTokenizer, PatternBank, TokenType}
@@ -22,15 +23,23 @@ import graft.pipeline.Category
   * Here token values are zero-copy UTF8String slices of the input bytes,
   * rows are built directly, and timestamp extraction is fixed-offset digit
   * math (the 5 schema formats are positional), so per-row allocation is
-  * bounded by the output itself. Catalyst sees a plain expression: column
-  * pruning upstream and whole-stage codegen around it still apply.
+  * bounded by the output itself.
+  *
+  * The expression participates in whole-stage codegen ([[doGenCode]]): the
+  * generated code holds ONE [[ParseScratch]] per operator instance — span
+  * buffer, row/array writers, cached routing ids — so steady-state the parse
+  * allocates nothing but the output buffer growth. The parent consumes the
+  * returned row by copying it into its own row writer before the next input
+  * row is processed (the standard reuse contract of generated projections),
+  * so buffer reuse is safe. The interpreted `eval` path instead returns a
+  * defensive copy, since interpreted consumers may hold references.
   *
   * The typed path (graft.pipeline.Parse.typed) remains as the independent
   * oracle; equality between the two is asserted in tests.
   */
 case class ParseTurnExpression(first: Expression, second: Expression, third: Expression,
                                bank: PatternBank)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   override def dataType: DataType = ParseTurnExpression.schema
   override def nullable: Boolean = false
@@ -47,112 +56,102 @@ case class ParseTurnExpression(first: Expression, second: Expression, third: Exp
   }
   override protected def nullSafeEval(t: Any, r: Any, o: Any): Any =
     throw new IllegalStateException("eval is overridden")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bankRef = ctx.addReferenceObj("parseBank", bank, classOf[PatternBank].getName)
+    val cls = classOf[ParseScratch].getName
+    val scratch = ctx.addMutableState(cls, "parseTurnScratch", v => s"$v = new $cls();")
+    val t = first.genCode(ctx)
+    val r = second.genCode(ctx)
+    val o = third.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${t.code}
+        ${r.code}
+        ${o.code}
+        final InternalRow ${ev.value} = $scratch.parse(
+          $bankRef,
+          ${t.isNull} ? null : ${t.value},
+          ${r.isNull} ? null : ${r.value},
+          ${o.isNull} ? null : ${o.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
   override def prettyName: String = "parse_turn"
 }
 
-object ParseTurnExpression {
+/** Task-scoped scratch state for [[ParseTurnExpression]]: the span buffer,
+  * the Tungsten writers (top row, token array, token struct — all sharing
+  * one growable buffer), and the bank's routing ids. One instance lives per
+  * generated-operator instance (codegen mutable state), so per-row work
+  * reuses every buffer; only output growth allocates.
+  */
+final class ParseScratch {
+  import ParseTurnExpression._
 
-  val tokenSchema: StructType = StructType(Seq(
-    StructField("token_type", ByteType, nullable = false),
-    StructField("schema_id", IntegerType, nullable = false),
-    StructField("value", StringType, nullable = true),
-    StructField("line_num", IntegerType, nullable = false)))
-
-  val schema: StructType = StructType(Seq(
-    StructField("tokens", ArrayType(tokenSchema, containsNull = true), nullable = false),
-    StructField("n_tokens", IntegerType, nullable = false),
-    StructField("n_lines", IntegerType, nullable = false),
-    StructField("n_events", IntegerType, nullable = false),
-    StructField("has_timestamp", BooleanType, nullable = false),
-    StructField("first_ts", StringType, nullable = true),
-    StructField("ts_schema_id", IntegerType, nullable = false),
-    StructField("ts_extracted", TimestampType, nullable = true),
-    StructField("n_errors", IntegerType, nullable = false),
-    StructField("error_signature", StringType, nullable = true),
-    StructField("tool_invocation", StringType, nullable = true),
-    StructField("category", StringType, nullable = false)))
-
-  private val ERROR = UTF8String.fromString("ERROR")
-  private val FATAL = UTF8String.fromString("FATAL")
-  private val TOOL = UTF8String.fromString("tool")
-  private val ASSISTANT = UTF8String.fromString("assistant")
-  private val CAT_ERRORS = UTF8String.fromString(Category.Errors)
-  private val CAT_TOOL = UTF8String.fromString(Category.ToolCalls)
-  private val CAT_ASSIST = UTF8String.fromString(Category.AssistantText)
-  private val CAT_UNMATCHED = UTF8String.fromString(Category.Unmatched)
-  private val TS_PLACEHOLDER = "<ts>"
-
-  /** Reusable per-thread token-span scratch (4 ints per token: packed
-    * type/schema, start, end, line). Thread-local because one bank/expression
-    * can be shared across a stage's tasks; steady-state this allocates
-    * nothing.
-    */
-  private val scratchTl: ThreadLocal[SpanBuf] =
-    ThreadLocal.withInitial(() => new SpanBuf)
-
-  private final class SpanBuf {
-    var a: Array[Int] = new Array[Int](4 * 64)
-    var n: Int = 0 // token count
-    def reset(): Unit = n = 0
-    def add(tt: Byte, sid: Int, start: Int, end: Int, line: Int): Unit = {
-      if (4 * n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
-      val o = 4 * n
-      a(o) = (tt.toInt << 24) | (sid & 0xFFFFFF)
-      a(o + 1) = start
-      a(o + 2) = end
-      a(o + 3) = line
-      n += 1
-    }
-    @inline def tt(i: Int): Byte = (a(4 * i) >> 24).toByte
-    @inline def sid(i: Int): Int = { val s = a(4 * i) & 0xFFFFFF; if (s == 0xFFFFFF) -1 else s }
-    @inline def start(i: Int): Int = a(4 * i + 1)
-    @inline def end(i: Int): Int = a(4 * i + 2)
-    @inline def line(i: Int): Int = a(4 * i + 3)
-  }
-
-  def parse(bank: PatternBank, text: UTF8String, role: UTF8String, tool: UTF8String): InternalRow = {
-    val bytes = if (text == null) Array.emptyByteArray else text.getBytes
-    val loglevelId = bank.varId("loglevel")
-    val threadId = bank.varId("thread_identifier")
-    val spans = scratchTl.get()
-    spans.reset()
-
-    // per-token bookkeeping collected in one pass over spans
-    var nEol = 0
-    var lastWasEol = false
-    var nTs = 0
-    var firstTsStart = -1
-    var firstTsEnd = -1
-    var tsSchemaId = -1
-    var nErrors = 0
-    var firstErrorLine = -1
-    var toolInvStart = -1
-    var toolInvEnd = -1
-    val isToolRole = role != null && role.equals(TOOL)
-
-    ByteTokenizer.tokenize(bank, bytes, new ByteTokenizer.Sink {
-      override def token(tt: Byte, sid: Int, start: Int, end: Int, line: Int): Unit = {
-        spans.add(tt, sid, start, end, line)
-        lastWasEol = tt == TokenType.StaticTextWithEndLine
-        if (lastWasEol) nEol += 1
-        else if (tt == TokenType.Timestamp) {
-          nTs += 1
-          if (firstTsStart < 0) { firstTsStart = start; firstTsEnd = end; tsSchemaId = sid }
-        } else if (tt == TokenType.Variable && sid == loglevelId) {
-          val len = end - start
-          if (len == 5 && matches5(bytes, start)) {
-            nErrors += 1
-            if (firstErrorLine < 0) firstErrorLine = line
-          }
-        } else if (tt == TokenType.Variable && sid == threadId) {
-          if (isToolRole && toolInvStart < 0 && end - start >= 2) {
-            toolInvStart = start + 1; toolInvEnd = end - 1
-          }
+  private val spans = new SpanBuf
+  private val rw = new UnsafeRowWriter(12, 1024)
+  private val aw = new UnsafeArrayWriter(rw, 8)
+  private val sw = new UnsafeRowWriter(aw, 4)
+  private var cachedBank: PatternBank = _
+  private var loglevelId = -1
+  private var bracketId = -1
+  private val sink = new ByteTokenizer.Sink {
+    override def token(tt: Byte, sid: Int, start: Int, end: Int, line: Int): Unit = {
+      spans.add(tt, sid, start, end, line)
+      lastWasEol = tt == TokenType.StaticTextWithEndLine
+      if (lastWasEol) nEol += 1
+      else if (tt == TokenType.Timestamp) {
+        nTs += 1
+        if (firstTsStart < 0) { firstTsStart = start; firstTsEnd = end; tsSchemaId = sid }
+      } else if (tt == TokenType.Variable && sid == loglevelId) {
+        if (end - start == 5 && matches5(bytes, start)) {
+          nErrors += 1
+          if (firstErrorLine < 0) firstErrorLine = line
+        }
+      } else if (tt == TokenType.Variable && sid == bracketId) {
+        if (isToolRole && toolInvStart < 0 && end - start >= 2) {
+          toolInvStart = start + 1; toolInvEnd = end - 1
         }
       }
-    })
+    }
+  }
+  // per-turn bookkeeping collected in one pass over the token stream
+  private var bytes: Array[Byte] = _
+  private var nEol = 0
+  private var lastWasEol = false
+  private var nTs = 0
+  private var firstTsStart = -1
+  private var firstTsEnd = -1
+  private var tsSchemaId = -1
+  private var nErrors = 0
+  private var firstErrorLine = -1
+  private var toolInvStart = -1
+  private var toolInvEnd = -1
+  private var isToolRole = false
+
+  /** Parse one turn into the reused Tungsten buffer. The returned row is
+    * valid until the next call on this scratch — callers that retain it
+    * must copy (the generated consumers copy immediately).
+    */
+  def parse(bank: PatternBank, text: UTF8String, role: UTF8String, tool: UTF8String): UnsafeRow = {
+    if (bank ne cachedBank) {
+      cachedBank = bank
+      loglevelId = bank.loglevelVarId
+      bracketId = bank.bracketVarId
+    }
+    bytes = if (text == null) Array.emptyByteArray else text.getBytes
+    spans.reset()
+    nEol = 0; lastWasEol = false
+    nTs = 0; firstTsStart = -1; firstTsEnd = -1; tsSchemaId = -1
+    nErrors = 0; firstErrorLine = -1
+    toolInvStart = -1; toolInvEnd = -1
+    isToolRole = role != null && role.equals(TOOL)
+
+    ByteTokenizer.tokenize(bank, bytes, sink)
 
     val nTokens = spans.n
     val nLines = 1 + nEol - (if (lastWasEol) 1 else 0)
@@ -167,20 +166,15 @@ object ParseTurnExpression {
       else if (role != null && role.equals(ASSISTANT)) CAT_ASSIST
       else CAT_UNMATCHED
 
-    // Build the output struct directly in Tungsten format: one UnsafeRow
-    // buffer per call (fresh buffer — the returned row must outlive this
-    // call), zero per-token objects (mirrors GenerateUnsafeProjection's
-    // array-of-struct pattern).
-    val rw = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(
-      12, 64 + bytes.length * 2)
-    rw.resetRowWriter()
+    // Build the output struct directly in Tungsten format, reusing the
+    // writers' shared buffer (reset() rewinds the cursor; the buffer keeps
+    // its high-water size, so steady state allocates nothing per row).
+    rw.reset()
     rw.zeroOutNullBytes()
 
     // field 0: tokens ARRAY<STRUCT<byte,int,string,int>>
     val arrCursor = rw.cursor()
-    val aw = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeArrayWriter(rw, 8)
     aw.initialize(nTokens)
-    val sw = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(aw, 4)
     var i = 0
     while (i < nTokens) {
       val elemCursor = aw.cursor()
@@ -210,11 +204,82 @@ object ParseTurnExpression {
     if (isToolRole && toolInvStart >= 0) rw.write(10, bytes, toolInvStart, toolInvEnd - toolInvStart)
     else rw.setNullAt(10)
     rw.write(11, category)
+    bytes = null
     rw.getRow
   }
+}
+
+object ParseTurnExpression {
+
+  val tokenSchema: StructType = StructType(Seq(
+    StructField("token_type", ByteType, nullable = false),
+    StructField("schema_id", IntegerType, nullable = false),
+    StructField("value", StringType, nullable = true),
+    StructField("line_num", IntegerType, nullable = false)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("tokens", ArrayType(tokenSchema, containsNull = true), nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_events", IntegerType, nullable = false),
+    StructField("has_timestamp", BooleanType, nullable = false),
+    StructField("first_ts", StringType, nullable = true),
+    StructField("ts_schema_id", IntegerType, nullable = false),
+    StructField("ts_extracted", TimestampType, nullable = true),
+    StructField("n_errors", IntegerType, nullable = false),
+    StructField("error_signature", StringType, nullable = true),
+    StructField("tool_invocation", StringType, nullable = true),
+    StructField("category", StringType, nullable = false)))
+
+  private[functions] val ERROR = UTF8String.fromString("ERROR")
+  private[functions] val FATAL = UTF8String.fromString("FATAL")
+  private[functions] val TOOL = UTF8String.fromString("tool")
+  private[functions] val ASSISTANT = UTF8String.fromString("assistant")
+  private[functions] val CAT_ERRORS = UTF8String.fromString(Category.Errors)
+  private[functions] val CAT_TOOL = UTF8String.fromString(Category.ToolCalls)
+  private[functions] val CAT_ASSIST = UTF8String.fromString(Category.AssistantText)
+  private[functions] val CAT_UNMATCHED = UTF8String.fromString(Category.Unmatched)
+  private val TS_PLACEHOLDER = "<ts>"
+
+  /** Token-span scratch (4 ints per token: packed type/schema, start, end,
+    * line); lives inside a [[ParseScratch]], so steady-state it allocates
+    * nothing.
+    */
+  private[functions] final class SpanBuf {
+    var a: Array[Int] = new Array[Int](4 * 64)
+    var n: Int = 0 // token count
+    def reset(): Unit = n = 0
+    def add(tt: Byte, sid: Int, start: Int, end: Int, line: Int): Unit = {
+      if (4 * n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+      val o = 4 * n
+      a(o) = (tt.toInt << 24) | (sid & 0xFFFFFF)
+      a(o + 1) = start
+      a(o + 2) = end
+      a(o + 3) = line
+      n += 1
+    }
+    @inline def tt(i: Int): Byte = (a(4 * i) >> 24).toByte
+    @inline def sid(i: Int): Int = { val s = a(4 * i) & 0xFFFFFF; if (s == 0xFFFFFF) -1 else s }
+    @inline def start(i: Int): Int = a(4 * i + 1)
+    @inline def end(i: Int): Int = a(4 * i + 2)
+    @inline def line(i: Int): Int = a(4 * i + 3)
+  }
+
+  /** Interpreted-mode scratch: per-thread because one expression instance
+    * can be shared across tasks; [[parse]] copies the result out of it.
+    */
+  private val scratchTl: ThreadLocal[ParseScratch] =
+    ThreadLocal.withInitial(() => new ParseScratch)
+
+  /** Interpreted-path parse (eval, constant folding, tests): same kernel as
+    * the codegen path but returns a defensive copy, since interpreted
+    * consumers may retain the reference across rows.
+    */
+  def parse(bank: PatternBank, text: UTF8String, role: UTF8String, tool: UTF8String): InternalRow =
+    scratchTl.get().parse(bank, text, role, tool).copy()
 
   /** value is exactly "ERROR" or "FATAL" (both length 5). */
-  @inline private def matches5(b: Array[Byte], s: Int): Boolean =
+  @inline private[functions] def matches5(b: Array[Byte], s: Int): Boolean =
     (b(s) == 'E' && b(s + 1) == 'R' && b(s + 2) == 'R' && b(s + 3) == 'O' && b(s + 4) == 'R') ||
     (b(s) == 'F' && b(s + 1) == 'A' && b(s + 2) == 'T' && b(s + 3) == 'A' && b(s + 4) == 'L')
 
@@ -222,7 +287,7 @@ object ParseTurnExpression {
     * static text verbatim; trailing newline dropped (mirrors
     * graft.pipeline.Parse.signatureOfLine, the test oracle).
     */
-  private def signature(bank: PatternBank, bytes: Array[Byte], spans: SpanBuf, lineNum: Int): UTF8String = {
+  private[functions] def signature(bank: PatternBank, bytes: Array[Byte], spans: SpanBuf, lineNum: Int): UTF8String = {
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i < spans.n) {

@@ -19,7 +19,18 @@ final class PatternBank(
     val varDfa: DenseDfa,
     val delimiters: Array[Boolean],
     val tsPatterns: Array[String],
-    val varNames: Array[String]
+    val varNames: Array[String],
+    /** Variable id carrying the log level (routes ERROR/FATAL turns);
+      * -1 when the schema has none.
+      */
+    val loglevelVarId: Int,
+    /** Bracketed variable id carrying the tool invocation on tool turns.
+      * Resolved at compile time from the schema's `routing:` overrides or
+      * the known aliases — the reference names it `thread_identifier` in
+      * docs/Schema.md:67 but `field_identifier` in examples/schema.yaml:20,
+      * so both work by default. -1 when absent.
+      */
+    val bracketVarId: Int
 ) extends Serializable {
   @inline def isDelimiter(c: Int): Boolean = c >= 0 && c < 128 && delimiters(c)
   def varName(id: Int): String = if (id >= 0 && id < varNames.length) varNames(id) else null
@@ -27,14 +38,23 @@ final class PatternBank(
 }
 
 object PatternBank {
-  def compile(config: SchemaConfig): PatternBank =
+  def compile(config: SchemaConfig): PatternBank = {
+    val names = config.varNames
+    def resolve(routingKey: String, aliases: Seq[String]): Int =
+      config.routing.get(routingKey) match {
+        case Some(n) => names.indexOf(n)
+        case None => aliases.iterator.map(names.indexOf).find(_ >= 0).getOrElse(-1)
+      }
     new PatternBank(
       DenseDfa.compile(config.tsPatterns),
       DenseDfa.compile(config.varSchemas.map(_._2)),
       config.delimiters,
       config.tsPatterns.toArray,
-      config.varNames.toArray
+      names.toArray,
+      resolve("loglevel", Seq("loglevel")),
+      resolve("tool_field", Seq("thread_identifier", "field_identifier"))
     )
+  }
 
   lazy val example: PatternBank = compile(SchemaConfig.example)
 }

@@ -53,10 +53,12 @@ final class Checkpoint(outDir: String, inputFingerprint: String) {
   def commitSink(sink: String, rows: Long): Unit = synchronized {
     val dir = Paths.get(outDir, s"category=$sink")
     val files: Seq[String] =
-      if (Files.exists(dir))
-        Files.list(dir).iterator.asScala
+      if (Files.exists(dir)) {
+        val s = Files.list(dir)
+        try s.iterator.asScala
           .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-      else Seq.empty
+        finally s.close()
+      } else Seq.empty
     committed = committed + (sink -> SinkCommit(rows, files))
     snapshotId += 1
     save()

@@ -50,7 +50,7 @@ object Parse {
   def parseTurn(bank: PatternBank, t: Turn): ParsedTurn = {
     val toks = Tokenizer.tokenize(bank, if (t.text == null) "" else t.text)
     val events = Tokenizer.assembleEvents(toks)
-    val loglevelId = bank.varId("loglevel")
+    val loglevelId = bank.loglevelVarId
 
     var nLines = 1
     var firstTs: String = null
@@ -78,7 +78,7 @@ object Parse {
     val toolInvocation =
       if (t.role == "tool")
         toks.collectFirst {
-          case tok if tok.tokenType == TokenType.Variable && tok.schemaId == bank.varId("thread_identifier") =>
+          case tok if tok.tokenType == TokenType.Variable && tok.schemaId == bank.bracketVarId =>
             tok.value.substring(1, tok.value.length - 1)
         }.orNull
       else null

@@ -52,7 +52,12 @@ object RunPipeline {
           fingerprint: String = "",
           sinkMode: String = "parquet"): Result = {
     val sc = spark.sparkContext
-    val bank = sc.broadcast(PatternBank.compile(schema))
+    // The compiled bank rides inside ParseTurnExpression in the plan; Spark
+    // broadcasts the serialized task binary once per stage, so the dense DFA
+    // tables still ship O(stages), not O(tasks) — no separate
+    // sparkContext.broadcast needed on the expression path (the typed oracle
+    // path in Parse.apply keeps one).
+    val bank = PatternBank.compile(schema)
 
     val turnsIn = sc.longAccumulator("turns_in")
     val counters = Category.All.map(c => c -> sc.longAccumulator(s"rows_routed_$c")).toMap
@@ -61,7 +66,11 @@ object RunPipeline {
     val partitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     val ckpt = new Checkpoint(outDir, fingerprint)
-    val pending = Category.All.filterNot(ckpt.isCommitted)
+    // noop sinks write nothing durable, so they must neither consult nor
+    // advance the checkpoint — otherwise a noop run would mark sinks
+    // committed and a later parquet run (or repeated noop run) would skip
+    // real work / return empty counts.
+    val pending = if (sinkMode == "noop") Category.All else Category.All.filterNot(ckpt.isCommitted)
 
     val t0 = System.nanoTime()
     var observedCounts = Map.empty[String, Long]
@@ -72,7 +81,7 @@ object RunPipeline {
       // Tungsten form), broadcast-enrich, partitioned write. Per-sink
       // counts and the rows-in metric ride the same pass via observe().
       val salted = Route.salted(turns.toDF(), partitions)
-      val parsed = Parse.expr(salted, bank.value)
+      val parsed = Parse.expr(salted, bank)
       val enriched = Enrich(parsed,
         SyntheticTranscripts.dimTool(spark), SyntheticTranscripts.dimRole(spark))
 
@@ -94,7 +103,7 @@ object RunPipeline {
       pending.foreach { c =>
         val n = observedCounts.getOrElse(c, 0L)
         counters.get(c).foreach(_.add(n))
-        ckpt.commitSink(c, n)
+        if (sinkMode != "noop") ckpt.commitSink(c, n)
       }
     }
     val routeSecs = (System.nanoTime() - t0) / 1e9
@@ -109,7 +118,7 @@ object RunPipeline {
     val aggSource =
       if (sinkMode == "noop") {
         val salted = Route.salted(turns.toDF(), partitions)
-        Enrich(Parse.expr(salted, bank.value),
+        Enrich(Parse.expr(salted, bank),
           SyntheticTranscripts.dimTool(spark), SyntheticTranscripts.dimRole(spark))
       } else spark.read.parquet(outDir)
     val perTool = Aggregate.perTool(aggSource)

@@ -14,7 +14,15 @@ import scala.jdk.CollectionConverters._
 final case class SchemaConfig(
     tsPatterns: Vector[String],
     varSchemas: Vector[(String, String)], // (name, pattern), definition order
-    delimiterChars: String
+    delimiterChars: String,
+    /** Optional routing-variable overrides (our extension, not in the
+      * reference dialect): which variable carries the log level and which
+      * bracketed variable carries the tool invocation. When absent, the
+      * defaults accept both names the reference has used for the bracket
+      * variable: `thread_identifier` (docs/Schema.md:67) and
+      * `field_identifier` (examples/schema.yaml:20).
+      */
+    routing: Map[String, String] = Map.empty
 ) extends Serializable {
 
   /** 128-entry delimiter bitmap, '\n' forced on. */
@@ -62,7 +70,13 @@ object SchemaConfig {
       case null => ""
       case s => s.toString
     }
-    SchemaConfig(ts, vars, delims)
+    val routing = root.get("routing") match {
+      case null => Map.empty[String, String]
+      case m: java.util.Map[_, _] =>
+        m.entrySet().asScala.iterator.map(e => (e.getKey.toString, e.getValue.toString)).toMap
+      case other => throw new IllegalArgumentException(s"routing: expected mapping, got $other")
+    }
+    SchemaConfig(ts, vars, delims, routing)
   }
 
   def fromFile(path: String): SchemaConfig =

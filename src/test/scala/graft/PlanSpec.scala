@@ -73,6 +73,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("parse_turn participates in whole-stage codegen (no interpreter fallback)") {
+    val turns = SyntheticTranscripts.generate(spark, 30L).toDF()
+    val parsed = Parse.expr(turns, PatternBank.example)
+    // the Project carrying parse_turn must be inside a codegen stage ("*(n)")
+    val line = parsed.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("parse_turn")).getOrElse("")
+    assert(line.contains("*("), s"parse_turn project not whole-stage codegen'd: $line")
+    // the generated code must hold the reused ParseScratch state
+    val cg = org.apache.spark.sql.execution.debug.codegenString(parsed.queryExecution.executedPlan)
+    assert(cg.contains("graft.functions.ParseScratch"))
+    // and it must COMPILE — forbid the silent Janino→interpreter fallback
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = parsed.selectExpr("sum(n_tokens)").collect()(0).getLong(0)
+      assert(r > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("brute-force knn broadcasts the query side (no corpus shuffle before scoring)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = planOf(graft.operators.Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 3), 3))
