@@ -18,8 +18,9 @@ import graft.lexer.PatternBank
   *   SELECT simhash64(text), cosine_similarity(a, b),
   *          parse_turn(text, role, tool) FROM ...
   *
-  * `parse_turn` compiles the example schema bank once per JVM; a custom
-  * schema is a library call (Parse.expr with your own PatternBank).
+  * `parse_turn` uses the schema YAML named by the session conf
+  * `spark.graft.schema.path` (compiled once per path and cached); without
+  * the conf it falls back to the embedded example schema.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -32,7 +33,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Session conf key naming the schema YAML for SQL `parse_turn`. */
+  val SchemaPathConf = "spark.graft.schema.path"
+
   private lazy val exampleBank: PatternBank = PatternBank.example
+  private val bankCache = new java.util.concurrent.ConcurrentHashMap[String, PatternBank]()
+
+  /** Bank for the current session: the conf-named YAML (compiled once per
+    * path, process-wide) or the example schema. Resolved at
+    * expression-build (analysis) time, so different sessions of one JVM can
+    * parse with different schemas.
+    */
+  private def sessionBank(): PatternBank =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(SchemaPathConf))
+      .map(p => bankCache.computeIfAbsent(p,
+        path => PatternBank.compile(graft.schema.SchemaConfig.fromFile(path))))
+      .getOrElse(exampleBank)
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
@@ -57,7 +74,7 @@ object GraftExtensions {
   val parseTurnDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("parse_turn"),
       info("parse_turn", "parse_turn(text, role, tool) - tokenize + extract routing fields"),
-      arity("parse_turn", 3)(args => ParseTurnExpression(args(0), args(1), args(2), exampleBank)))
+      arity("parse_turn", 3)(args => ParseTurnExpression(args(0), args(1), args(2), sessionBank())))
 
   /** Register on an existing session (tests / spark-shell convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

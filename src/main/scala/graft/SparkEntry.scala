@@ -54,6 +54,25 @@ object SparkEntry {
       SyntheticTranscripts.dimTool(spark), SyntheticTranscripts.dimRole(spark))
   }
 
+  /** Mean recall of an ANN method vs the exact brute-force top-k, reported
+    * as a driver-checkable single row: (n_queries, recall_pass). The brute
+    * side is the independently-tested exact operator; DuckDB re-derives
+    * n_queries and pins recall_pass = true.
+    */
+  private def annRecall(emb: DataFrame,
+                        ann: (DataFrame, DataFrame) => DataFrame,
+                        minRecall: Double): DataFrame = {
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceKnn(emb, q, k = 5).select("query_id", "neighbor_id")
+    val approx = ann(emb, q).select("query_id", "neighbor_id")
+    val stats = brute.agg(countDistinct("query_id").as("n_queries"), count(lit(1)).as("total"))
+    val hits = approx.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    stats.crossJoin(hits)
+      .select(col("n_queries"),
+        (col("hits").cast("double") / col("total") >= minRecall).as("recall_pass"))
+  }
+
   /** Flagship query on sf=0.001: full parse→enrich→route aggregation over
     * the synthetic transcript table; driver smoke-checks rows > 0.
     */
@@ -189,6 +208,14 @@ object SparkEntry {
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5, nCells = 16, nProbe = 6)
         .orderBy("query_id", "rank")
     }),
+    // recall gates: ANN quality asserted as a driver-checkable result — the
+    // oracle pins n_queries (recomputed by DuckDB) and recall_pass=true
+    "s4_lsh_recall" -> ((s, dir) =>
+      annRecall(tbl(s, dir, "embeddings"),
+        (emb, q) => Similarity.lshKnn(emb, q, k = 5, nBits = 4), minRecall = 0.6)),
+    "s5_ivf_recall" -> ((s, dir) =>
+      annRecall(tbl(s, dir, "embeddings"),
+        (emb, q) => Similarity.ivfKnn(emb, q, k = 5, nCells = 16, nProbe = 6), minRecall = 0.6)),
 
     // ---- text analysis ----
     "t1_quality" -> ((s, dir) =>
@@ -200,11 +227,16 @@ object SparkEntry {
     "t4_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(tbl(s, dir, "documents")).orderBy("doc_id")),
 
-    // ---- multimodal plumbing (decode stubbed, see operators/Multimodal) ----
+    // ---- multimodal (real ImageIO decode for images; audio/video stubbed,
+    //      see operators/Multimodal) ----
     "m1_multimodal_features" -> ((s, dir) => {
       val n = if (dir.contains("0.1")) 5000L else if (dir.contains("0.01")) 2000L else 500L
       Multimodal.featureStats(Multimodal.extractFeatures(Multimodal.generateAssets(s, n)))
         .orderBy("media_type")
+    }),
+    "m2_multimodal_verify" -> ((s, dir) => {
+      val n = if (dir.contains("0.1")) 5000L else if (dir.contains("0.01")) 2000L else 500L
+      Multimodal.decodeVerify(Multimodal.generateAssets(s, n)).orderBy("media_type")
     }),
 
     // ---- transcript pipeline (the north-rule surface; oracles live in the
@@ -315,6 +347,64 @@ object SparkEntry {
         |CAST(len(regexp_split_to_array(trim(text),'\s+')) AS BIGINT) AS ws_tokens,
         |CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d5_ngram_jaccard" ->
+      s"""WITH docs AS ($DocsWithDupsSql),
+        |g AS (SELECT doc_id, source, list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |    ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)] END) AS grams
+        |  FROM (SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws FROM docs)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS j
+        |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(round(j, 4) AS DOUBLE) AS jaccard FROM p
+        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "t4_fingerprint" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws FROM documents),
+        |wins AS (SELECT doc_id, CASE WHEN len(ws) < 4 THEN [array_to_string(ws, ' ')]
+        |    ELSE [array_to_string(ws[i:i+3], ' ') for i in range(1, len(ws)-2)] END AS strs FROM w)
+        |SELECT doc_id, CAST(list_min(list_transform(strs, s ->
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(s)+1), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+        |    (h, c) -> (h*31 + c) % 1000000007))) AS BIGINT) AS fingerprint
+        |FROM wins ORDER BY doc_id""".stripMargin,
+    "s4_lsh_recall" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
+    "s5_ivf_recall" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
+    "m2_multimodal_verify" ->
+      """SELECT * FROM (VALUES ('audio/wav', true, true, true), ('image/jpeg', true, true, true),
+        |('image/png', true, true, true), ('video/mp4', true, true, true))
+        |AS t(media_type, has_assets, dims_ok, frames_ok) ORDER BY media_type""".stripMargin,
+    // p* oracles aggregate the TYPED-path parse output that Verify stages to
+    // parquet ({STAGED} is substituted with the absolute path at dump time):
+    // the queries run the native-expression path, the oracle re-aggregates
+    // the independently-implemented typed path in DuckDB.
+    "p1_route_counts" ->
+      """SELECT category, count(*) AS n_turns FROM read_parquet('{STAGED}/parsed/*.parquet')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p2_token_stats" ->
+      """SELECT token_type, schema_id, count(*) AS n FROM read_parquet('{STAGED}/tokens/*.parquet')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "p3_per_tool" ->
+      """SELECT tool, count(*) AS n_calls,
+        |CAST(sum(CASE WHEN category = 'errors' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM read_parquet('{STAGED}/parsed/*.parquet')
+        |WHERE tool IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p4_conv_stats" ->
+      """SELECT conv_id, n_turns, max_turn_idx, first_ts, last_ts, n_tokens, n_errors,
+        |n_tool_turns, n_role_repeats FROM (
+        |  SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx,
+        |    min(ts) AS first_ts, max(ts) AS last_ts,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens, CAST(sum(n_errors) AS BIGINT) AS n_errors,
+        |    CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
+        |    CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats
+        |  FROM (SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+        |    FROM read_parquet('{STAGED}/parsed/*.parquet'))
+        |  GROUP BY 1)
+        |ORDER BY n_turns DESC, conv_id LIMIT 50""".stripMargin,
     "t3_langid" ->
       """WITH s AS (SELECT doc_id, lang AS lang_true,
         |  len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),

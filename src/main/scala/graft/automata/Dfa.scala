@@ -65,6 +65,32 @@ final class DenseDfa private[automata] (
   }
 }
 
+/** Incremental per-character simulator over a [[DenseDfa]] — the standalone
+  * equivalent of the reference's `DfaSimulator::simulate_single_char`
+  * (/root/reference/src/dfa/dfa.rs:415-458): feed one character at a time,
+  * get back (accepted pattern id or -1, still-valid). The tokenizers inline
+  * this loop on the hot path; this class exposes it as the reusable
+  * `regex-engine` surface (reference README.md:125-131).
+  */
+final class DfaSimulator(dfa: DenseDfa) {
+  private var state: Int = 0
+
+  def resetSimulation(): Unit = state = 0
+
+  /** Step the simulation by one character. Returns the pattern id accepted
+    * AT the new state (-1 if none) and whether the simulation is still in a
+    * live state; once dead, every further step reports dead until
+    * [[resetSimulation]].
+    */
+  def simulateSingleChar(c: Char): (Int, Boolean) = {
+    if (state < 0) return (-1, false)
+    val nxt = dfa.next(state, c)
+    if (nxt < 0) { state = -1; return (-1, false) }
+    state = nxt
+    (dfa.acceptedPattern(nxt), true)
+  }
+}
+
 object DenseDfa {
 
   /** Subset construction over the union of `nfas`; pattern id = index. */

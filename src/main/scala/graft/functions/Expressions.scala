@@ -101,9 +101,67 @@ object SimHash64 {
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }
 
+/** Winnowing-style document fingerprint: minimum polynomial hash over all
+  * `window`-word windows of the lowercased text (short docs: one window of
+  * all words). The hash is `h = (h*31 + codepoint) mod 1e9+7` over the
+  * window string (words joined by one space) — deliberately chosen to be
+  * expressible in ANSI-ish SQL so the DuckDB oracle can recompute it
+  * exactly (a wrapping 64-bit hash cannot be, BIGINT multiply overflows).
+  * Native expression: no encoder round trip, stays inside the row pipeline.
+  */
+case class Fingerprint(child: Expression, window: Int = 4)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Fingerprint.compute(v.asInstanceOf[UTF8String].toString, window)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "doc_fingerprint"
+}
+
+object Fingerprint {
+  val Mod = 1000000007L
+
+  /** Polynomial 31-hash of a string's code points, mod 1e9+7. */
+  def polyHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def compute(text: String, window: Int): Long = {
+    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (words.length < window) polyHash(words.mkString(" "))
+    else {
+      var minH = Long.MaxValue
+      var i = 0
+      val sb = new java.lang.StringBuilder(64)
+      while (i + window <= words.length) {
+        sb.setLength(0)
+        var j = i
+        while (j < i + window) {
+          if (j > i) sb.append(' ')
+          sb.append(words(j))
+          j += 1
+        }
+        val h = polyHash(sb.toString)
+        if (h < minH) minH = h
+        i += 1
+      }
+      minH
+    }
+  }
+}
+
 object functions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def doc_fingerprint(c: Column, window: Int = 4): Column =
+    column(Fingerprint(expression(c), window))
 }

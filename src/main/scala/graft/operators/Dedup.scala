@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.pipeline.Rng
 
@@ -10,11 +11,25 @@ import graft.pipeline.Rng
   *    text, map-side partial agg; at 100 TB, group on a 128-bit hash of the
   *    text rather than the text itself to keep shuffle rows small (here we
   *    group on xxhash64(text) and never shuffle the body).
-  *  - MinHash + LSH: shingle → minhash signature → banded bucket join →
-  *    exact-Jaccard verification of candidates only. The O(n²) pair space is
-  *    never materialized; cost is O(n · bands) shuffle rows.
+  *  - MinHash + LSH: exact-dedup FIRST (identical texts collapse to one
+  *    representative — map-side combine shrinks dup-heavy inputs before the
+  *    shuffle), then shingle → minhash signature → banded bucket join on the
+  *    representatives only → exact-Jaccard verification of candidates.
   *  - SimHash: 64-bit signature via the native SimHash64 expression;
-  *    near-dup = small hamming distance within LSH buckets of the top bits.
+  *    near-dup = small hamming distance within LSH buckets of the top bits,
+  *    again on signature-distinct representatives only.
+  *
+  * Hot-bucket defusal (the 100 TB failure mode): dedup input is by
+  * definition dup-heavy, and round-1's within-bucket self-join went
+  * quadratic exactly when there was lots to find. Now (a) exact duplicates
+  * never reach the LSH buckets — a cluster of 100k identical pages is ONE
+  * bucket row; (b) residual hot buckets (distinct-but-near templates) are
+  * capped at `maxBucket` rows per (band, bucket) — the pair join is bounded
+  * by maxBucket² per bucket; other bands usually recover pairs a cap drops;
+  * (c) pair output for exact-duplicate groups is linear, not quadratic:
+  * groups up to `maxGroupExpand` emit all in-group pairs (matching the
+  * all-pairs semantics small corpora expect), larger groups emit
+  * representative→member star pairs only.
   */
 object Dedup {
 
@@ -92,105 +107,185 @@ object Dedup {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Exact-text group key: 64-bit xxhash + crc32 + length ≈ 96 bits — a
+    * collision would silently merge two different texts into one exact
+    * group, so one hash is not enough at web scale.
+    */
+  private def textKey: Column =
+    struct(xxhash64(col("text")).as("xx"),
+      crc32(col("text").cast("binary")).as("crc"),
+      length(col("text")).as("len"))
+
+  /** Cap a (band, bucket) to its `maxBucket` lowest doc_ids. The window sort
+    * is O(n log n) per bucket — bounded work even on a degenerate bucket —
+    * and everything downstream is bounded by maxBucket² per bucket.
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    banded.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket)
+      .drop("_rn")
+  }
+
+  /** Expand representative-level near-dup pairs and exact groups back to
+    * document-level pairs with linear-per-group guarantees:
+    *  - groups ≤ maxGroupExpand: all in-group pairs (jaccard/hamming of
+    *    identical texts) and full cross products on near pairs — identical
+    *    to all-pairs semantics while groups are small;
+    *  - larger groups: representative→member star pairs only, and only the
+    *    representative participates in cross pairs (output stays O(group)).
+    *
+    * `members` columns: (doc_id, rep_id, grp_n); `repPairs` columns:
+    * (rep_a, rep_b, score). Returns (id_a, id_b, score).
+    */
+  private def expandPairs(members: DataFrame, repPairs: DataFrame,
+                          scoreCol: String, exactScore: Column,
+                          maxGroupExpand: Int): DataFrame = {
+    val small = members.filter(col("grp_n") <= maxGroupExpand)
+    val inSmall = small.select(col("rep_id"), col("doc_id").as("id_a"))
+      .join(small.select(col("rep_id"), col("doc_id").as("id_b")), "rep_id")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), exactScore.as(scoreCol))
+    val inBig = members.filter(col("grp_n") > maxGroupExpand && col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"), exactScore.as(scoreCol))
+    // cross expansion: each side of a rep pair fans out to its group's
+    // members if the group is small, else just the representative
+    val expandable = members
+      .filter(col("grp_n") <= maxGroupExpand || col("doc_id") === col("rep_id"))
+      .select(col("rep_id"), col("doc_id"))
+    val cross = repPairs
+      .join(expandable.select(col("rep_id").as("rep_a"), col("doc_id").as("ma")), "rep_a")
+      .join(expandable.select(col("rep_id").as("rep_b"), col("doc_id").as("mb")), "rep_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col(scoreCol))
+    inSmall.unionByName(inBig).unionByName(cross)
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
-    * Plan shape (scale-reviewed): one pass computes (id, signature,
-    * shingles); bands explode to `bands` rows per doc; groupBy bucket joins
-    * candidates; exact verify joins the shingle sets back only for candidate
-    * ids. With b=16 bands of r=8 rows the LSH S-curve crosses ~0.5 at
-    * j≈0.84 — tuned for threshold 0.8.
+    * Plan shape (scale-reviewed): exact-text collapse (one body shuffle with
+    * map-side combine — dup clusters shrink before they move); signatures on
+    * representatives only; bands explode to `bands` slim rows per rep;
+    * capped bucket self-join; exact verify joins the shingle sets back only
+    * for candidate ids; linear-per-group pair expansion. With b=16 bands of
+    * r=8 rows the LSH S-curve crosses ~0.5 at j≈0.84 — tuned for
+    * threshold 0.8.
     */
   def minhashPairs(
       documents: DataFrame,
       threshold: Double = 0.8,
       numHashes: Int = 128,
       bands: Int = 16,
-      shingleK: Int = 5
+      shingleK: Int = 5,
+      maxBucket: Int = 4096,
+      maxGroupExpand: Int = 64
   ): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0)
     val rows = numHashes / bands
 
-    val sigs = documents.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
-      val sh = shingleHashes(text, shingleK)
-      (id, minhashSignature(sh, numHashes), sh)
-    }.toDF("doc_id", "sig", "shingles")
-      .persist()
+    // exact-text collapse: representatives carry the body onward; the
+    // groupBy's partial aggregation collapses duplicate texts map-side
+    val groups = documents.select(col("doc_id"), col("text"), textKey.as("tk"))
+      .groupBy("tk")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"), first("text").as("text"))
+    val members = documents.select(col("doc_id"), textKey.as("tk"))
+      .join(groups.select("tk", "rep_id", "grp_n"), "tk")
+      .select("doc_id", "rep_id", "grp_n")
+    val uniq = groups.select(col("rep_id").as("doc_id"), col("text"))
 
-    try {
-      // band buckets: (band, hash(sig slice)) → candidate id lists
-      val banded = sigs.select(col("doc_id"), col("sig"))
-        .as[(Long, Array[Long])]
-        .flatMap { case (id, sig) =>
-          (0 until bands).iterator.map { b =>
-            var h = 1125899906842597L
-            var r = 0
-            while (r < rows) { h = h * 31 + sig(b * rows + r); r += 1 }
-            (b, h, id)
-          }
-        }.toDF("band", "bucket", "doc_id")
+    // band buckets over representatives: (band, hash(sig slice)) slim rows
+    val banded = uniq.as[(Long, String)].flatMap { case (id, text) =>
+      val sig = minhashSignature(shingleHashes(text, shingleK), numHashes)
+      (0 until bands).iterator.map { b =>
+        var h = 1125899906842597L
+        var r = 0
+        while (r < rows) { h = h * 31 + sig(b * rows + r); r += 1 }
+        (b, h, id)
+      }
+    }.toDF("band", "bucket", "doc_id")
 
-      // candidate pairs: self-join within (band, bucket), ordered ids
-      val x = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-      val y = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
-      val candidates = x.join(y, Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    // candidate pairs: capped self-join within (band, bucket), ordered ids
+    val capped = capBuckets(banded, maxBucket)
+    val x = capped.select(col("band"), col("bucket"), col("doc_id").as("rep_a"))
+    val y = capped.select(col("band"), col("bucket"), col("doc_id").as("rep_b"))
+    val candidates = x.join(y, Seq("band", "bucket"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b")
+      .distinct()
 
-      // exact verification on the candidate pairs only
-      val shA = sigs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-      val shB = sigs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-      val verify = candidates.join(shA, "id_a").join(shB, "id_b")
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .as[(Long, Long, Array[Long], Array[Long])]
-        .map { case (a, b, sha, shb) => (a, b, exactJaccard(sha, shb)) }
-        .toDF("id_a", "id_b", "jaccard")
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    // exact verification on the candidate pairs only (shingles recomputed
+    // for representatives — no persist, no eager materialization)
+    val shingled = uniq.as[(Long, String)]
+      .map { case (id, text) => (id, shingleHashes(text, shingleK)) }
+      .toDF("id", "sh")
+    val repPairs = candidates
+      .join(shingled.select(col("id").as("rep_a"), col("sh").as("sh_a")), "rep_a")
+      .join(shingled.select(col("id").as("rep_b"), col("sh").as("sh_b")), "rep_b")
+      .select(col("rep_a"), col("rep_b"),
+        udfFreeJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
-      verify.persist()
-      verify.count() // materialize before unpersisting sigs
-      verify
-    } finally {
-      sigs.unpersist()
-    }
+    expandPairs(members, repPairs, "jaccard", lit(1.0d), maxGroupExpand)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** SimHash near-dup pairs: bucket by the top 16 bits (4 rotations) then
-    * verify hamming distance within buckets — LSH for hamming space.
+  /** Exact Jaccard of two sorted-distinct ARRAY<BIGINT> columns as a native
+    * expression composition (no UDF): |a ∩ b| via sorted-merge is not a
+    * built-in, but array_intersect + set sizes are equivalent on distinct
+    * arrays and stay codegen-friendly.
     */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
+  private def udfFreeJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0.0d, 1.0d).otherwise(inter / union)
+  }
+
+  /** SimHash near-dup pairs: signature-distinct representatives bucketed by
+    * the four 16-bit slices (LSH for hamming space ≤3 needs any one slice
+    * equal... with 4 slices and ≤3 flipped bits, at least one slice is
+    * untouched — recall 1.0 within the cap), hamming verified via
+    * bit_count(sig_a ^ sig_b). Column-only: no typed map, no collect_list.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 4096, maxGroupExpand: Int = 64): DataFrame = {
+    require(maxHamming <= 3, "4×16-bit banding guarantees recall only for hamming ≤ 3")
     val sigs = documents.select(col("doc_id"),
       graft.functions.functions.simhash64(col("text")).as("sig"))
 
-    val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
-      (0 until 4).iterator.map(b => (b, (sig >>> (b * 16)) & 0xFFFFL, id, sig))
-    }.toDF("band", "bucket", "doc_id", "sig")
+    // signature-identical collapse (identical texts have identical sigs)
+    val groups = sigs.groupBy("sig")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"))
+    val members = sigs.join(groups, "sig").select("doc_id", "rep_id", "grp_n")
+    val uniq = groups.select(col("rep_id").as("doc_id"), col("sig"))
 
-    banded.groupBy("band", "bucket")
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .as[(Int, Long, Seq[(Long, Long)])]
-      .flatMap { case (_, _, xs) =>
-        for {
-          i <- xs.indices.iterator
-          j <- (i + 1) until xs.size
-          if graft.functions.SimHash64.hamming(xs(i)._2, xs(j)._2) <= maxHamming
-        } yield {
-          val (a, b) = if (xs(i)._1 < xs(j)._1) (xs(i)._1, xs(j)._1) else (xs(j)._1, xs(i)._1)
-          (a, b, graft.functions.SimHash64.hamming(xs(i)._2, xs(j)._2))
-        }
-      }
-      .toDF("id_a", "id_b", "hamming")
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }
+    val banded = uniq
+      .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("doc_id"), col("sig"))
+
+    val capped = capBuckets(banded, maxBucket)
+    val x = capped.select(col("band"), col("bucket"), col("doc_id").as("rep_a"), col("sig").as("sig_a"))
+    val y = capped.select(col("band"), col("bucket"), col("doc_id").as("rep_b"), col("sig").as("sig_b"))
+    val repPairs = x.join(y, Seq("band", "bucket"))
+      .filter(col("rep_a") < col("rep_b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("rep_a", "rep_b", "hamming")
       .distinct()
+
+    expandPairs(members, repPairs, "hamming", lit(0), maxGroupExpand)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
 
   /** Word n-gram Jaccard similarity, blocked by `source` to bound the pair
-    * space (exact within blocks — the brute-force comparison baseline).
+    * space (exact within blocks — the brute-force comparison baseline, and
+    * the one dedup operator simple enough for a full DuckDB oracle).
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val spark = documents.sparkSession

@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.Rng
@@ -7,28 +10,24 @@ import graft.pipeline.Rng
 /** Multimodal column handling: image/audio/video as opaque BINARY columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * The actual codecs are NOT in this container, so the decode step is a
-  * clearly-marked deterministic fake (`FakeCodec`) — but the Spark-side
-  * plumbing is real and tested: binary column schema, metadata struct,
-  * batch-iteration via mapPartitions (the Scala analogue of Python's
-  * mapInPandas batches), deterministic feature extraction signature
-  * `(asset_id, media_type, bytes) → Array[Float]`, frame sampling for
-  * video-typed assets, and partition-count preservation. Swapping FakeCodec
-  * for a real JNI/ImageIO decoder changes no plan shape.
+  * The IMAGE path is real end-to-end: `generateAssets` encodes actual
+  * PNG/JPEG bytes (deterministic pixels via splitmix, `javax.imageio` —
+  * ships with the JDK), and `extractFeatures` decodes them back with
+  * ImageIO, so decoded width/height and pixel-derived features exercise a
+  * genuine binary→decode→feature pipeline. Audio/video codecs are NOT in
+  * this container, so those two types keep the clearly-marked deterministic
+  * `FakeCodec` — the Spark-side plumbing (binary schema, mapPartitions
+  * batching, frame sampling, determinism) is identical for all types, and
+  * swapping FakeCodec for a real decoder changes no plan shape.
   */
 object Multimodal {
 
   val MediaTypes: Vector[String] = Vector("image/png", "image/jpeg", "audio/wav", "video/mp4")
 
-  /** STUB — deterministic fake codec standing in for the real decoder. */
+  /** STUB — deterministic fake codec standing in for the real AUDIO/VIDEO
+    * decoders (images use ImageIO below).
+    */
   object FakeCodec {
-    /** "Decode" bytes to a dims pair (e.g. width×height) — pure hash. */
-    def decodeDims(bytes: Array[Byte]): (Int, Int) = {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
-      (64 + Rng.bounded(h, 960), 64 + Rng.bounded(Rng.mix(h), 960))
-    }
     /** "Extract" an nDim feature vector — pure hash of content windows. */
     def features(bytes: Array[Byte], nDim: Int): Array[Float] = {
       val out = new Array[Float](nDim)
@@ -55,50 +54,111 @@ object Multimodal {
     }
   }
 
-  /** Deterministic synthetic asset table: (asset_id, media_type, meta
-    * struct, content BINARY). Blob sizes vary by type; bytes are a pure
-    * function of (seed, id).
+  /** Real image codec: deterministic pixels → PNG/JPEG bytes and back. */
+  object ImageCodec {
+    /** Encode a deterministic w×h RGB image (pixels from splitmix of r). */
+    def encode(format: String, w: Int, h: Int, r: Long): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var st = r
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          st = Rng.mix(st)
+          img.setRGB(x, y, (st & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, format, baos)
+      baos.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): BufferedImage =
+      ImageIO.read(new ByteArrayInputStream(bytes))
+
+    /** Pixel-derived features: luminance means over nDim interleaved bins. */
+    def features(img: BufferedImage, nDim: Int): Array[Float] = {
+      val sums = new Array[Double](nDim)
+      val counts = new Array[Int](nDim)
+      var y = 0
+      var i = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
+          val d = i % nDim
+          sums(d) += lum; counts(d) += 1
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(nDim)(d => if (counts(d) == 0) 0f else (sums(d) / counts(d) / 255.0).toFloat)
+    }
+  }
+
+  /** Deterministic synthetic asset table: (asset_id, media_type, width,
+    * height, content BINARY). Images are REAL encoded PNG/JPEG whose
+    * declared (width, height) is ground truth for the decode check;
+    * audio/video are opaque deterministic blobs whose "dims" are synthetic
+    * metadata.
     */
   def generateAssets(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     spark.range(n).map { id =>
       val r = Rng.mix2(seed, id)
       val mt = MediaTypes(Rng.bounded(r, MediaTypes.size))
-      val len = mt match {
-        case s if s.startsWith("image") => 512 + Rng.bounded(Rng.mix(r), 2048)
-        case s if s.startsWith("audio") => 2048 + Rng.bounded(Rng.mix(r), 4096)
-        case _                          => 4096 + Rng.bounded(Rng.mix(r), 8192)
+      if (mt.startsWith("image")) {
+        val w = 8 + Rng.bounded(Rng.mix(r), 24)
+        val h = 8 + Rng.bounded(Rng.mix2(r, 17L), 24)
+        val bytes = ImageCodec.encode(if (mt.endsWith("png")) "png" else "jpg", w, h, r)
+        (id, mt, w, h, bytes)
+      } else {
+        val len = if (mt.startsWith("audio")) 2048 + Rng.bounded(Rng.mix(r), 4096)
+                  else 4096 + Rng.bounded(Rng.mix(r), 8192)
+        val bytes = new Array[Byte](len)
+        var hsh = r
+        var i = 0
+        while (i < len) { hsh = Rng.mix(hsh); bytes(i) = (hsh & 0xff).toByte; i += 1 }
+        val w = 64 + Rng.bounded(hsh, 960)
+        val h = 64 + Rng.bounded(Rng.mix(hsh), 960)
+        (id, mt, w, h, bytes)
       }
-      val bytes = new Array[Byte](len)
-      var h = r
-      var i = 0
-      while (i < len) { h = Rng.mix(h); bytes(i) = (h & 0xff).toByte; i += 1 }
-      (id, mt, bytes)
-    }.toDF("asset_id", "media_type", "content")
+    }.toDF("asset_id", "media_type", "width", "height", "content")
   }
 
   /** Decode + feature-extract over binary columns in partition batches.
-    * Output: (asset_id, media_type, width, height, n_frames, embedding).
+    * Images: real ImageIO decode (width/height read from the bytes).
+    * Audio/video: FakeCodec (documented stub). Output: (asset_id,
+    * media_type, width, height, n_frames, embedding) with DECODED dims.
     */
   def extractFeatures(assets: DataFrame, nDim: Int = 32, framesPerVideo: Int = 4): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.select("asset_id", "media_type", "content")
-      .as[(Long, String, Array[Byte])]
+    assets.select("asset_id", "media_type", "width", "height", "content")
+      .as[(Long, String, Int, Int, Array[Byte])]
       .mapPartitions { iter =>
         // batch-shaped: one pass per partition, codec state amortized here
-        iter.map { case (id, mt, bytes) =>
-          val (w, h) = FakeCodec.decodeDims(bytes)
-          val isVideo = mt.startsWith("video")
-          val frames = if (isVideo) FakeCodec.sampleFrames(bytes, framesPerVideo) else Seq(bytes)
-          // mean-pool per-frame features
-          val acc = new Array[Float](nDim)
-          frames.foreach { fb =>
-            val f = FakeCodec.features(fb, nDim)
-            var d = 0
-            while (d < nDim) { acc(d) += f(d) / frames.size; d += 1 }
+        iter.map { case (id, mt, declW, declH, bytes) =>
+          if (mt.startsWith("image")) {
+            val img = ImageCodec.decode(bytes)
+            if (img == null) (id, mt, -1, -1, 1, new Array[Float](nDim))
+            else (id, mt, img.getWidth, img.getHeight, 1, ImageCodec.features(img, nDim))
+          } else {
+            val isVideo = mt.startsWith("video")
+            val frames = if (isVideo) FakeCodec.sampleFrames(bytes, framesPerVideo) else Seq(bytes)
+            // mean-pool per-frame features
+            val acc = new Array[Float](nDim)
+            frames.foreach { fb =>
+              val f = FakeCodec.features(fb, nDim)
+              var d = 0
+              while (d < nDim) { acc(d) += f(d) / frames.size; d += 1 }
+            }
+            // stub decode reports the declared dims (no real codec here)
+            (id, mt, declW, declH, frames.size, acc)
           }
-          (id, mt, w, h, frames.size, acc)
         }
       }
       .toDF("asset_id", "media_type", "width", "height", "n_frames", "embedding")
@@ -115,4 +175,23 @@ object Multimodal {
         round(avg("norm"), 4).as("avg_norm"),
         round(avg("width"), 2).as("avg_width"),
         sum("n_frames").as("total_frames"))
+
+  /** End-to-end decode verification: per media type, do the dims DECODED
+    * from the binary content match the dims declared at generation, and did
+    * video frame sampling produce the requested frame count? For images
+    * this is a real PNG/JPEG round trip — the driver-checkable property of
+    * the multimodal path.
+    */
+  def decodeVerify(assets: DataFrame, framesPerVideo: Int = 4): DataFrame = {
+    val declared = assets.select(col("asset_id"), col("width").as("decl_w"), col("height").as("decl_h"))
+    extractFeatures(assets, nDim = 8, framesPerVideo = framesPerVideo)
+      .join(declared, "asset_id")
+      .groupBy("media_type")
+      .agg(
+        (count(lit(1)) > 0).as("has_assets"),
+        (sum(when(col("width") === col("decl_w") && col("height") === col("decl_h"), 0L)
+          .otherwise(1L)) === 0L).as("dims_ok"),
+        (sum(when(col("media_type").startsWith("video") && col("n_frames") =!= framesPerVideo, 1L)
+          .otherwise(0L)) === 0L).as("frames_ok"))
+  }
 }

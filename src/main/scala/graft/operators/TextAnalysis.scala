@@ -82,32 +82,13 @@ object TextAnalysis {
     withScores.select(col("doc_id"), col("lang_true"), best._1.as("lang_pred"))
   }
 
-  /** Rolling (Rabin-Karp) fingerprint over word hashes: k-word windows,
-    * keep the minimum window hash per document (a winnowing-style document
-    * fingerprint). Deterministic.
+  /** Winnowing-style document fingerprint: minimum rolling hash over k-word
+    * windows, as a native expression (no typed-map encoder round trip —
+    * round 1 deserialized every row to compute a pure byte function). The
+    * polynomial-mod hash is DuckDB-recomputable, so t4 carries a full
+    * oracle.
     */
-  def fingerprint(documents: DataFrame, window: Int = 4): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    documents.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
-      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      val hs = words.map(graft.functions.SimHash64.wordHash)
-      var minH = Long.MaxValue
-      if (hs.length < window) {
-        var h = 0L
-        hs.foreach(x => h = h * 1315423911L + x)
-        minH = h
-      } else {
-        var i = 0
-        while (i + window <= hs.length) {
-          var h = 0L
-          var j = i
-          while (j < i + window) { h = h * 1315423911L + hs(j); j += 1 }
-          if (h < minH) minH = h
-          i += 1
-        }
-      }
-      (id, minH)
-    }.toDF("doc_id", "fingerprint")
-  }
+  def fingerprint(documents: DataFrame, window: Int = 4): DataFrame =
+    documents.select(col("doc_id"),
+      graft.functions.functions.doc_fingerprint(col("text"), window).as("fingerprint"))
 }

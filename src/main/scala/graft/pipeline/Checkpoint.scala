@@ -15,7 +15,7 @@ import scala.jdk.CollectionConverters._
   * Swapping this for real Iceberg snapshot ids is a config-level change:
   * the pipeline only sees `isCommitted`/`commitSink`.
   */
-final class Checkpoint(outDir: String, inputFingerprint: String) {
+final class Checkpoint(outDir: String, inputFingerprint: String) extends TableFormat {
   private val manifestPath: Path = Paths.get(outDir, "_manifest.json")
 
   final case class SinkCommit(rows: Long, files: Seq[String])

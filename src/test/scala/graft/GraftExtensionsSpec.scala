@@ -43,4 +43,30 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getString(schema.fieldIndex("first_ts")) == "2015-03-23 08:09:17,637")
     assert(row.getString(schema.fieldIndex("error_signature")).startsWith("<ts> <loglevel> <thread_identifier>"))
   }
+
+  test("SQL parse_turn honors spark.graft.schema.path (custom YAML schema)") {
+    import spark.implicits._
+    val yaml =
+      """timestamp: []
+        |delimiters: " \n"
+        |variables:
+        |  severity: '(OK)|(BOOM)'
+        |  handle: '\[(\w)+\]'
+        |routing:
+        |  loglevel: severity
+        |  tool_field: handle
+        |""".stripMargin
+    val path = java.nio.file.Files.createTempFile("graft-schema", ".yaml")
+    java.nio.file.Files.writeString(path, yaml)
+    Seq(("c1", 0, "tool", "bash", "[bash] ran OK\n"))
+      .toDF("conv_id", "turn_idx", "role", "tool", "text")
+      .createOrReplaceTempView("turns_custom")
+    spark.conf.set(GraftExtensions.SchemaPathConf, path.toString)
+    try {
+      val row = spark.sql(
+        "SELECT p.tool_invocation, p.tokens FROM (SELECT parse_turn(text, role, tool) AS p FROM turns_custom)")
+        .first()
+      assert(row.getString(0) == "bash")
+    } finally spark.conf.unset(GraftExtensions.SchemaPathConf)
+  }
 }

@@ -200,6 +200,23 @@ class AutomataSpec extends AnyFunSuite {
     assert(CharMask.Dot.contains(127))
   }
 
+  test("DfaSimulator single-char stepping (dfa.rs:415-458; matrix from dfa.rs:716-760)") {
+    // languages: p0 = a|ab, p1 = c*, p2 = c+ab — the reference's fixture NFAs
+    val dfa = DenseDfa.compile(Seq("(a)|(ab)", "(c)*", "(c)+ab"))
+    val sim = new DfaSimulator(dfa)
+    assert(sim.simulateSingleChar('a') == (0, true))
+    assert(sim.simulateSingleChar('b') == (0, true))
+    assert(sim.simulateSingleChar('b') == (-1, false))
+    // once dead, stays dead until reset
+    assert(sim.simulateSingleChar('a') == (-1, false))
+    sim.resetSimulation()
+    assert(sim.simulateSingleChar('c') == (1, true))
+    assert(sim.simulateSingleChar('c') == (1, true))
+    assert(sim.simulateSingleChar('c') == (1, true))
+    assert(sim.simulateSingleChar('a') == (-1, true)) // live prefix of c+ab, accepts nothing
+    assert(sim.simulateSingleChar('b') == (2, true))
+  }
+
   test("AST shape: escaped literal and repetition (regex_parser/parser.rs:25-58)") {
     RegexParser.parse("""\-{0,1}\d+""") match {
       case Ast.Concat(List(Ast.Rep(dash: Ast.Cls, 0, Some(1)), Ast.Rep(d: Ast.Cls, 1, None))) =>

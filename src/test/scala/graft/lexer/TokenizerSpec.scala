@@ -184,4 +184,70 @@ class TokenizerSpec extends AnyFunSuite {
     val ts = toks("a::b,,c\n")
     assert(ts.map(_.value).mkString == "a::b,,c\n")
   }
+
+  private lazy val hiveLargeLog: String = {
+    val in = getClass.getResourceAsStream("/hive-24h_large.log")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  test("losslessness + event assembly on the 103-line hive-24h_large fixture (lexer_test.rs:9-65)") {
+    val ts = Tokenizer.tokenize(bank, hiveLargeLog)
+    assert(ts.nonEmpty)
+    assert(ts.map(_.value).mkString == hiveLargeLog)
+    val events = Tokenizer.assembleEvents(ts)
+    assert(events.nonEmpty)
+    val rebuilt = events.map(e => ts.slice(e.tokenStart, e.tokenEnd).map(_.value).mkString).mkString
+    assert(rebuilt == hiveLargeLog)
+    // the fixture is timestamp-led: every line either starts an event or
+    // continues one; line coverage is contiguous from line 1
+    assert(events.head.lineStart == 1)
+    events.sliding(2).foreach {
+      case collection.mutable.ArrayBuffer(a, b) => assert(b.lineStart == a.lineEnd + 1)
+      case _ => ()
+    }
+  }
+
+  test("the reference's real schema.yaml loads byte-for-byte; field_identifier drives tool routing") {
+    val yaml = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("/root/reference/examples/schema.yaml")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val cfg = SchemaConfig.parseYaml(yaml)
+    assert(cfg.varNames == Vector("int", "float", "hex", "loglevel", "field_identifier", "path"))
+    val refBank = PatternBank.compile(cfg)
+    // routing resolves the bracket variable under its real-YAML name
+    assert(refBank.loglevelVarId == 3)
+    assert(refBank.bracketVarId == 4)
+    // both fixtures tokenize losslessly under the reference's own config
+    assert(Tokenizer.tokenize(refBank, hiveLog).map(_.value).mkString == hiveLog)
+    assert(Tokenizer.tokenize(refBank, hiveLargeLog).map(_.value).mkString == hiveLargeLog)
+    // tool_invocation extraction works under field_identifier (typed path)
+    val parsed = graft.pipeline.Parse.parseTurn(refBank,
+      graft.pipeline.Turn("c1", 0, "tool", "[grep] 2 files matched\n", "grep", null))
+    assert(parsed.tool_invocation == "grep")
+    assert(parsed.category == graft.pipeline.Category.ToolCalls)
+    // and on the expression path
+    import org.apache.spark.unsafe.types.UTF8String
+    val row = graft.functions.ParseTurnExpression.parse(refBank,
+      UTF8String.fromString("[grep] 2 files matched\n"),
+      UTF8String.fromString("tool"), UTF8String.fromString("grep"))
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(row.getUTF8String(10).toString == "grep")
+  }
+
+  test("routing: overrides pick the routing variables explicitly") {
+    val cfg = SchemaConfig.parseYaml(
+      """timestamp: []
+        |delimiters: " \n"
+        |variables:
+        |  sev: '(GOOD)|(BAD)'
+        |  box: '\[(\w)+\]'
+        |routing:
+        |  loglevel: sev
+        |  tool_field: box
+        |""".stripMargin)
+    val b = PatternBank.compile(cfg)
+    assert(b.loglevelVarId == 0)
+    assert(b.bracketVarId == 1)
+  }
 }

@@ -170,6 +170,71 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     exactIds.foreach(id => assert(fp1(id) == fp1(id + 100000L)))
   }
 
+  test("dedup hot-bucket defusal: 10k identical docs finish with linear output") {
+    import spark.implicits._
+    val body = "the same exact document body repeated verbatim across the whole crawl shard"
+    val near = "the same exact document body repeated verbatim across the whole crawl shards"
+    val docs = spark.range(10000)
+      .select(col("id").as("doc_id"), lit(body).as("text"),
+        lit("en").as("lang"), lit("src").as("source"), lit(body.length).as("n_chars"))
+      .unionByName(Seq(
+        (20000L, near, "en", "src", near.length),
+        (20001L, near + "!", "en", "src", near.length + 1)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+    // the 10k-identical cluster must come back as rep→member star pairs
+    // (linear), not all-pairs (quadratic) or a bucket-join explosion
+    val mh = Dedup.minhashPairs(docs, threshold = 0.8).collect()
+    val star = mh.filter(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0)
+    assert(star.length == 9999, s"expected 9999 star pairs, got ${star.length}")
+    assert(mh.length < 10050, s"pair output must stay linear, got ${mh.length}")
+    // the distinct near-dup pair is still found
+    assert(mh.exists(r => r.getLong(0) == 20000L && r.getLong(1) == 20001L))
+
+    val sh = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    val star0 = sh.filter(r => r.getLong(0) == 0L && r.getInt(2) == 0)
+    assert(star0.length == 9999)
+    assert(sh.length < 10050)
+  }
+
+  test("small-corpus dedup semantics: groups under the cap get all-pairs output") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, t, "en", "src", t.length), (2L, t, "en", "src", t.length), (3L, t, "en", "src", t.length)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.minhashPairs(docs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)))
+    val gotSim = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotSim == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+  }
+
+  test("fingerprint runs as a native expression (no encoder round trip in the plan)") {
+    val df = TextAnalysis.fingerprint(docs)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject"), plan)
+    // known value: poly31 mod 1e9+7 of the single window of a short doc
+    import spark.implicits._
+    val one = TextAnalysis.fingerprint(Seq((1L, "Ab c")).toDF("doc_id", "text")).collect()(0).getLong(1)
+    val want = "ab c".foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    assert(one == want)
+  }
+
+  test("image decode round trip: ImageIO-decoded dims equal declared dims") {
+    val assets = Multimodal.generateAssets(spark, 120)
+    val v = Multimodal.decodeVerify(assets).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(v.keySet == Multimodal.MediaTypes.toSet)
+    v.foreach { case (mt, (has, dims, frames)) =>
+      assert(has && dims && frames, s"$mt: has=$has dims=$dims frames=$frames")
+    }
+    // and the PNG bytes are real PNGs (magic header)
+    val png = assets.filter(col("media_type") === "image/png").select("content").head().getAs[Array[Byte]](0)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+  }
+
   test("multimodal: schema, batch plumbing, frame sampling, determinism") {
     val assets = Multimodal.generateAssets(spark, 200)
     assert(assets.schema("content").dataType.typeName == "binary")

@@ -40,6 +40,8 @@ for name, sql in sorted(oracle.items()):
 # rows-only queries
 for d in sorted(glob.glob(f"{outdir}/*/")):
     name = d.rstrip("/").split("/")[-1]
+    if name.startswith("_"):
+        continue
     if name not in oracle:
         n = con.sql(f"SELECT count(*) FROM '{d}*.parquet'").fetchone()[0]
         print(f"ROWS {name}: {n} rows {'OK' if n>0 else 'EMPTY!'}")
