@@ -191,6 +191,22 @@ object SparkEntry {
       Dedup.simhashPairs(docsWithDups(s, dir), maxHamming = 3).orderBy("id_a", "id_b")),
     "d5_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithDups(s, dir), n = 3, threshold = 0.5).orderBy("id_a", "id_b")),
+    // embedding-cosine near-dup: d6 is the exact blocked baseline (full
+    // DuckDB oracle), d7 gates the LSH scale path's recall against it
+    "d6_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupBrute(tbl(s, dir, "embeddings"), threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+    "d7_embedding_lsh_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val truth = Dedup.embeddingNearDupBrute(emb, threshold = 0.3).select("id_a", "id_b")
+      val approx = Dedup.embeddingNearDupPairs(emb, threshold = 0.3, nBits = 3, nTables = 12)
+        .select("id_a", "id_b")
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val hits = approx.join(truth, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      nTrue.crossJoin(hits).select(col("n_true").as("n_true_pairs"),
+        (col("hits").cast("double") / col("n_true") >= 0.8).as("recall_pass"))
+    }),
 
     // ---- similarity search ----
     "s1_knn_brute" -> ((s, dir) => {
@@ -369,6 +385,17 @@ object SparkEntry {
         |    list_transform(range(1, length(s)+1), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
         |    (h, c) -> (h*31 + c) % 1000000007))) AS BIGINT) AS fingerprint
         |FROM wins ORDER BY doc_id""".stripMargin,
+    "d6_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |CAST(round(list_cosine_similarity(a.v, b.v), 4) AS DOUBLE) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.3 ORDER BY 1, 2""".stripMargin,
+    "d7_embedding_lsh_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_pass
+        |FROM (SELECT list_cosine_similarity(a.v, b.v) AS s FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE s >= 0.3""".stripMargin,
     "s4_lsh_recall" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
     "s5_ivf_recall" ->

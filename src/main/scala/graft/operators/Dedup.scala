@@ -283,6 +283,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the scale path: multi-table
+    * random-hyperplane LSH buckets the corpus (shuffles only (bucket, id,
+    * vec)), candidate pairs form within capped buckets, and exact cosine
+    * verifies each candidate. Recall follows the standard multi-table LSH
+    * S-curve (1-(1-p^b)^L); the exact twin below is the oracle.
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.3,
+                            nBits: Int = 4, nTables: Int = 8,
+                            maxBucket: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val planes = spark.sparkContext.broadcast(
+      Array.tabulate(nTables)(t => Similarity.hyperplanes(nBits, dim, seed = 7L + t * 1000L)))
+
+    val banded = embeddings.select(col("vec_id").as("doc_id"), col("embedding").as("emb"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        planes.value.iterator.zipWithIndex.map { case (p, t) =>
+          (t, t.toLong << 32 | Similarity.signBucket(emb, p).toLong, id, emb)
+        }
+      }.toDF("band", "bucket", "doc_id", "emb")
+
+    val capped = capBuckets(banded, maxBucket)
+    val x = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("emb").as("emb_a"))
+    val y = capped.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("emb").as("emb_b"))
+    x.join(y, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.functions.cosine_similarity(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("id_a", "id_b").agg(round(max("cos"), 4).as("cos"))
+  }
+
+  /** Exact all-pairs embedding-cosine twin: the O(n²) labeled baseline and
+    * the DuckDB-verifiable oracle for the LSH path above.
+    */
+  def embeddingNearDupBrute(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.functions.cosine_similarity(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Word n-gram Jaccard similarity, blocked by `source` to bound the pair
     * space (exact within blocks — the brute-force comparison baseline, and
     * the one dedup operator simple enough for a full DuckDB oracle).

@@ -211,6 +211,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotSim == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
   }
 
+  test("embedding near-dup: LSH pairs are a high-recall subset of the exact pairs") {
+    val truth = Dedup.embeddingNearDupBrute(emb, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val lsh1 = Dedup.embeddingNearDupPairs(emb, threshold = 0.3, nBits = 3, nTables = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh2 = Dedup.embeddingNearDupPairs(emb, threshold = 0.3, nBits = 3, nTables = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh1 == lsh2, "LSH near-dup must be deterministic")
+    assert(lsh1.subsetOf(truth), s"false positives: ${lsh1.diff(truth).take(5)}")
+    val recall = lsh1.size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall (${lsh1.size} of ${truth.size})")
+  }
+
   test("fingerprint runs as a native expression (no encoder round trip in the plan)") {
     val df = TextAnalysis.fingerprint(docs)
     val plan = df.queryExecution.executedPlan.toString()
