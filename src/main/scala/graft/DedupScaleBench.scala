@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.pipeline.Rng
+
+/** Dedup scale smoke: a dup-heavy synthetic corpus with a deliberately hot
+  * duplicate cluster — the exact input shape that makes naive LSH dedup go
+  * quadratic (every member of the cluster shares every band bucket). The
+  * round-1 plan would generate |cluster|²/2 candidate pairs inside one
+  * bucket (5·10⁹ at the default size); the defused plan collapses the
+  * cluster to one representative before bucketing and emits linear star
+  * pairs.
+  *
+  *   runMain graft.DedupScaleBench [nUnique] [dupFactor] [hotCluster] [cores]
+  */
+object DedupScaleBench {
+
+  /** Deterministic ~30-word doc from a closed vocabulary; 1-in-50 docs get
+    * a near-twin (one word changed) at id+10⁹ so the LSH path has real
+    * near-dup work, not just exact clusters.
+    */
+  private val Vocab: Array[String] =
+    ("the quick brown fox jumps over lazy dog while seventeen engineers review " +
+      "partition shuffle broadcast skew salt checkpoint lineage manifest snapshot " +
+      "token parse enrich route aggregate window conversation transcript tool error").split(" ")
+
+  def text(seed: Long): String = {
+    val sb = new java.lang.StringBuilder(256)
+    var h = Rng.mix(seed)
+    var i = 0
+    while (i < 30) {
+      if (i > 0) sb.append(' ')
+      h = Rng.mix(h)
+      sb.append(Vocab(Rng.bounded(h, Vocab.length)))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def corpus(spark: SparkSession, nUnique: Long, dupFactor: Int, hotCluster: Long): DataFrame = {
+    import spark.implicits._
+    val uniques = spark.range(nUnique).flatMap { u =>
+      val t = text(u)
+      // exact copies (ids interleaved so partitions stay balanced)…
+      val copies = (0 until dupFactor).map(c => (u + c.toLong * nUnique, t))
+      // …plus a sparse population of near-twins
+      val near =
+        if (u % 50 == 0) Seq((u + 1000000000L, t.replaceFirst("the", "thee")))
+        else Seq.empty
+      copies ++ near
+    }.toDF("doc_id", "text")
+    val hot = spark.range(hotCluster)
+      .select((col("id") + 2000000000L).as("doc_id"),
+        lit(text(424242L) + " hot").as("text"))
+    uniques.unionByName(hot)
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nUnique = if (args.length > 0) args(0).toLong else 50000L
+    val dupFactor = if (args.length > 1) args(1).toInt else 4
+    val hotCluster = if (args.length > 2) args(2).toLong else 100000L
+    val cores = if (args.length > 3) args(3).toInt else Runtime.getRuntime.availableProcessors()
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("dedup-scale-bench")
+      .config("spark.sql.shuffle.partitions", math.max(16, cores * 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val docs = corpus(spark, nUnique, dupFactor, hotCluster)
+      docs.persist()
+      val nDocs = docs.count()
+
+      def timed(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[dedup-scale] $name docs=$nDocs pairs=$n wall=$secs%.1fs cores=$cores")
+      }
+      timed("minhash")(Dedup.minhashPairs(docs, threshold = 0.8))
+      timed("simhash")(Dedup.simhashPairs(docs, maxHamming = 3))
+    } finally spark.stop()
+  }
+}
