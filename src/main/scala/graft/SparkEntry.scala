@@ -179,6 +179,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
         .orderBy("event_type")
     }),
+    "q13_rollup" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").cast("bigint").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
 
     // ---- deduplication (training-data ops) ----
     "d1_exact_dedup" -> ((s, dir) =>
@@ -329,6 +335,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "d1_exact_dedup" ->
       s"""WITH docs AS ($DocsWithDupsSql)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM docs

@@ -27,7 +27,10 @@ object Verify {
     // staged parquet lives NEXT TO outDir, not inside it — the driver
     // iterates outDir subdirs as query results
     val stagedDir = Paths.get(outDir + "_staged").toAbsolutePath.normalize().toString
-    stageTypedParse(spark, sfDir, stagedDir)
+    try stageTypedParse(spark, sfDir, stagedDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] staging failed (p* oracles will miss): ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -43,6 +43,21 @@ object StreamingParse {
   /** Per-conversation running progress. */
   final case class ConvProgress(conv_id: String, turns_seen: Long, errors_seen: Long, last_turn_idx: Int)
 
+  /** Streaming exact dedup over a document-shaped stream: first arrival of
+    * each text hash wins, duplicates within the watermark horizon are
+    * dropped. `dropDuplicatesWithinWatermark` keys state on the slim
+    * (64-bit hash) column — never the body — and the watermark bounds state
+    * size, which is what makes this viable on an unbounded 100 TB/day feed
+    * (plain dropDuplicates would accrete state forever).
+    */
+  def dedupedStream(docs: DataFrame, tsCol: String = "ts",
+                    watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("_th", xxhash64(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_th")
+      .drop("_th")
+
   /** Custom streaming state via mapGroupsWithState: running per-conversation
     * turn/error counters (the stateful-operator surface of the engine).
     */

@@ -52,6 +52,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops duplicate texts across triggers, keeps uniques") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // 40 docs, every other one a duplicate text of the previous, all inside
+    // one watermark window; spread over files so triggers split them
+    (0 until 40).map { i =>
+      (i.toLong, s"document body number ${i / 2}",
+        new java.sql.Timestamp(base.getTime + i * 1000L))
+    }.toDF("doc_id", "text", "ts").repartition(4).write.mode("overwrite").parquet(dir)
+
+    val in = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = StreamingParse.dedupedStream(in, watermark = "1 hour").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("deduped_docs")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT text FROM deduped_docs").collect().map(_.getString(0))
+      assert(got.length == got.distinct.length, "duplicates leaked through")
+      assert(got.toSet == (0 until 20).map(i => s"document body number $i").toSet)
+    } finally q.stop()
+  }
+
   test("stateful per-conversation progress accumulates across triggers") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-in2").toString
