@@ -276,7 +276,15 @@ object SparkEntry {
       Aggregate.perTool(enrichedTranscripts(s, dir)).orderBy("tool")),
     "p4_conv_stats" -> ((s, dir) =>
       Aggregate.perConversation(enrichedTranscripts(s, dir))
-        .orderBy(col("n_turns").desc, col("conv_id")).limit(50))
+        .orderBy(col("n_turns").desc, col("conv_id")).limit(50)),
+    // CLP-style log templates: error lines grouped by their variable-erased
+    // signature — the "what keeps going wrong" query of a log pipeline
+    "p5_error_signatures" -> ((s, dir) =>
+      enrichedTranscripts(s, dir)
+        .filter(col("error_signature").isNotNull)
+        .groupBy("error_signature")
+        .agg(count(lit(1)).as("n_turns"), sum("n_errors").as("n_errors"))
+        .orderBy(col("n_turns").desc, col("error_signature")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -443,6 +451,11 @@ object SparkEntry {
         |    FROM read_parquet('{STAGED}/parsed/*.parquet'))
         |  GROUP BY 1)
         |ORDER BY n_turns DESC, conv_id LIMIT 50""".stripMargin,
+    "p5_error_signatures" ->
+      """SELECT error_signature, count(*) AS n_turns, CAST(sum(n_errors) AS BIGINT) AS n_errors
+        |FROM read_parquet('{STAGED}/parsed/*.parquet')
+        |WHERE error_signature IS NOT NULL GROUP BY 1
+        |ORDER BY n_turns DESC, error_signature""".stripMargin,
     "t3_langid" ->
       """WITH s AS (SELECT doc_id, lang AS lang_true,
         |  len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),

@@ -65,7 +65,8 @@ object Verify {
     val turns = SyntheticTranscripts.generate(spark, SyntheticTranscripts.convsForSfDir(sfDir))
     val bank = Parse.broadcastBank(spark, PatternBank.example)
     val parsed = Parse(turns, bank).toDF()
-    parsed.select("conv_id", "turn_idx", "role", "tool", "ts", "category", "n_tokens", "n_errors")
+    parsed.select("conv_id", "turn_idx", "role", "tool", "ts", "category",
+        "n_tokens", "n_errors", "error_signature")
       .coalesce(1).write.mode("overwrite").parquet(s"$stagedDir/parsed")
     parsed.select(explode(col("tokens")).as("tok"))
       .select(col("tok.token_type").as("token_type"), col("tok.schema_id").as("schema_id"))
