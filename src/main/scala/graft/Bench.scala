@@ -79,8 +79,16 @@ object Bench {
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"turns":$turns,"seconds":$pipeSecs%.3f,"turns_per_sec":$turnsPerSec%.1f,"cores":$cpus}}"""
       println(json)
       // durable copy so the bench signal survives even if a wrapper process
-      // decorates stdout (round 1's BENCH json came back unparseable)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/bench_latest.json"), json + "\n")
+      // decorates stdout (round 1's BENCH json came back unparseable); best
+      // effort — the printed line is the contract, a file error must not
+      // fail a completed bench run
+      try {
+        val p = java.nio.file.Paths.get("BENCH/bench_latest.json")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, json + "\n")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write BENCH/bench_latest.json: ${e.getMessage}")
+      }
     } finally spark.stop()
   }
 }

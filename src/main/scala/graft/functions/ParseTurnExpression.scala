@@ -38,7 +38,17 @@ import graft.pipeline.Category
   * oracle; equality between the two is asserted in tests.
   */
 case class ParseTurnExpression(first: Expression, second: Expression, third: Expression,
-                               bank: PatternBank)
+                               bank: PatternBank,
+                               /** When true (default), the generated code returns a defensive
+                                 * copy of the scratch buffer — safe for ANY consumer, including
+                                 * ones that retain the struct reference across rows (aggregate
+                                 * buffers, collected lists). `Parse.expr` sets false because it
+                                 * decomposes the struct into top-level columns in the same
+                                 * Project (each field's bytes are copied into the output row
+                                 * writer within the row iteration), making buffer reuse provably
+                                 * safe there and keeping the hot path allocation-free.
+                                 */
+                               copyResult: Boolean = true)
     extends TernaryExpression {
 
   override def dataType: DataType = ParseTurnExpression.schema
@@ -64,6 +74,7 @@ case class ParseTurnExpression(first: Expression, second: Expression, third: Exp
     val t = first.genCode(ctx)
     val r = second.genCode(ctx)
     val o = third.genCode(ctx)
+    val maybeCopy = if (copyResult) ".copy()" else ""
     ev.copy(
       code = code"""
         ${t.code}
@@ -73,7 +84,7 @@ case class ParseTurnExpression(first: Expression, second: Expression, third: Exp
           $bankRef,
           ${t.isNull} ? null : ${t.value},
           ${r.isNull} ? null : ${r.value},
-          ${o.isNull} ? null : ${o.value});
+          ${o.isNull} ? null : ${o.value})$maybeCopy;
       """,
       isNull = FalseLiteral)
   }
@@ -347,6 +358,8 @@ object ParseTurnExpression {
   }
 
   import org.apache.spark.sql.GraftBridge.{column, expression}
-  def parse_turn(text: Column, role: Column, tool: Column, bank: PatternBank): Column =
-    column(ParseTurnExpression(expression(text), expression(role), expression(tool), bank))
+  def parse_turn(text: Column, role: Column, tool: Column, bank: PatternBank,
+                 copyResult: Boolean = true): Column =
+    column(ParseTurnExpression(expression(text), expression(role), expression(tool), bank,
+      copyResult))
 }

@@ -42,7 +42,13 @@ object PatternBank {
     val names = config.varNames
     def resolve(routingKey: String, aliases: Seq[String]): Int =
       config.routing.get(routingKey) match {
-        case Some(n) => names.indexOf(n)
+        case Some(n) =>
+          val idx = names.indexOf(n)
+          // an explicit override that matches no variable is a config bug —
+          // fail at compile time instead of silently disabling routing
+          require(idx >= 0,
+            s"routing: $routingKey names unknown variable '$n' (have: ${names.mkString(", ")})")
+          idx
         case None => aliases.iterator.map(names.indexOf).find(_ >= 0).getOrElse(-1)
       }
     new PatternBank(

@@ -294,7 +294,13 @@ object Dedup {
                             maxBucket: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val dimRow = embeddings
+      .filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head(1)
+    if (dimRow.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("id_a BIGINT, id_b BIGINT, cos DOUBLE"))
+    val dim = dimRow(0).getInt(0)
     val planes = spark.sparkContext.broadcast(
       Array.tabulate(nTables)(t => Similarity.hyperplanes(nBits, dim, seed = 7L + t * 1000L)))
 

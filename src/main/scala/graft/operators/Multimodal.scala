@@ -56,6 +56,9 @@ object Multimodal {
 
   /** Real image codec: deterministic pixels → PNG/JPEG bytes and back. */
   object ImageCodec {
+    // the bytes are fully in memory — ImageIO's default file cache would
+    // create/delete a temp file per image in the per-row decode loop
+    ImageIO.setUseCache(false)
     /** Encode a deterministic w×h RGB image (pixels from splitmix of r). */
     def encode(format: String, w: Int, h: Int, r: Long): Array[Byte] = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

@@ -148,8 +148,11 @@ object Parse {
   def expr(turns: org.apache.spark.sql.DataFrame, bank: PatternBank): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     turns
+      // copyResult=false: the struct is decomposed into top-level columns by
+      // the p.* select below, so the reused scratch buffer never escapes a
+      // row iteration — the zero-copy fast path is safe here
       .withColumn("p", graft.functions.ParseTurnExpression.parse_turn(
-        col("text"), col("role"), col("tool"), bank))
+        col("text"), col("role"), col("tool"), bank, copyResult = false))
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
         col("text"), col("p.*"))
   }

@@ -53,10 +53,14 @@ object StreamingParse {
   def dedupedStream(docs: DataFrame, tsCol: String = "ts",
                     watermark: String = "10 minutes"): DataFrame =
     docs
+      // composite ~96-bit key: a lone 64-bit hash has ~50% birthday-collision
+      // odds by 5·10⁹ distinct docs — one horizon of a 100 TB/day feed
       .withColumn("_th", xxhash64(col("text")))
+      .withColumn("_tc", crc32(col("text").cast("binary")))
+      .withColumn("_tl", length(col("text")))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("_th")
-      .drop("_th")
+      .dropDuplicatesWithinWatermark("_th", "_tc", "_tl")
+      .drop("_th", "_tc", "_tl")
 
   /** Custom streaming state via mapGroupsWithState: running per-conversation
     * turn/error counters (the stateful-operator surface of the engine).
