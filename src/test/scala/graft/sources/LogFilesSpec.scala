@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.lexer.PatternBank
+
+/** Raw .log file source: events over the reference's own fixtures, read
+  * through a real Spark job (wholetext scan + flatMap), asserted lossless
+  * and identical to the in-memory tokenizer path.
+  */
+class LogFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("logfiles-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def resource(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/$name")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  test("hive fixtures parse to events through the Spark source, losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-logs")
+    val small = resource("hive-24h.log")
+    val large = resource("hive-24h_large.log")
+    java.nio.file.Files.writeString(dir.resolve("hive-24h.log"), small)
+    java.nio.file.Files.writeString(dir.resolve("hive-24h_large.log"), large)
+
+    val bank = spark.sparkContext.broadcast(PatternBank.example)
+    val events = LogFiles.events(spark, s"$dir/*.log", bank).collect()
+
+    val byFile = events.groupBy(e => e.file.split('/').last)
+    // hive-24h.log: 4 timestamp-led events (log_parser_test.rs:29-48)
+    assert(byFile("hive-24h.log").length == 4)
+    assert(byFile("hive-24h.log").forall(_.has_timestamp))
+    // per-file reconstruction: ordered event texts concatenate to the bytes
+    assert(byFile("hive-24h.log").sortBy(_.event_idx).map(_.text).mkString == small)
+    assert(byFile("hive-24h_large.log").sortBy(_.event_idx).map(_.text).mkString == large)
+    // line coverage is contiguous from line 1 in both files
+    byFile.values.foreach { evs =>
+      val s = evs.sortBy(_.event_idx)
+      assert(s.head.line_start == 1)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b.line_start == a.line_end + 1)
+        case _ => ()
+      }
+    }
+    // timestamps extracted: first event of the small fixture
+    val first = byFile("hive-24h.log").minBy(_.event_idx)
+    assert(first.first_ts != null && first.ts_extracted != null)
+  }
+
+  test("ERROR events are categorized and templated") {
+    val bank = PatternBank.example
+    val content =
+      "2015-03-23 08:09:17,637 INFO [main] all good\n" +
+      "2015-03-23 08:09:18,000 ERROR [worker] failed after 3 retries\n"
+    val evs = LogFiles.eventsOf("f", content, bank).toVector
+    assert(evs.length == 2)
+    assert(evs(0).category == graft.pipeline.Category.Unmatched && evs(0).n_errors == 0)
+    assert(evs(1).category == graft.pipeline.Category.Errors && evs(1).n_errors == 1)
+    assert(evs(1).error_signature == "<ts> <loglevel> <thread_identifier> failed after <int> retries")
+  }
+}
