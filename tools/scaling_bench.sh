@@ -9,7 +9,7 @@ RUNS=${2:-3}
 MODE=${GRAFT_SINK_MODE:-noop}
 cd "$(dirname "$0")/.."
 for i in $(seq 1 $RUNS); do
-  for CORES in ${GRAFT_CORES:-"2 8"}; do   # interleaved: N,4N,N,4N,...
+  for CORES in ${GRAFT_CORES:-2 8}; do   # interleaved: N,4N,N,4N,...
     OUT=$(mktemp -d /tmp/graft-scale-XXXX)
     GRAFT_SINK_MODE=$MODE SPARK_DRIVER_MEM=48g sbt -batch "runMain graft.pipeline.RunPipeline $NCONVS $OUT $CORES" 2>/dev/null \
       | grep -o '\[pipeline\].*' | sed "s/^/cores=$CORES run=$i mode=$MODE /"
