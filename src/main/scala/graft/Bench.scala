@@ -42,9 +42,9 @@ object Bench {
   // each dedup/similarity/text family, and the transcript pipeline slice
   val HeadlineQueries: Seq[String] = Seq(
     "q1_agg", "q3_join_agg", "q5_window", "q10_events_hourly", "q11_sessionize",
-    "d1_exact_dedup", "d3_minhash_pairs", "d4_simhash_pairs",
+    "d1_exact_dedup", "d3_minhash_pairs", "d4_simhash_pairs", "d6_embedding_neardup",
     "s1_knn_brute", "s2_knn_lsh", "t1_quality", "t3_langid",
-    "p1_route_counts", "p2_token_stats", "p4_conv_stats")
+    "p1_route_counts", "p2_token_stats", "p4_conv_stats", "p5_error_signatures")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -148,7 +148,13 @@ object Similarity {
              nTables: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    val dimRow = corpus.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head(1)
+    if (dimRow.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, rank INT, neighbor_id BIGINT, score DOUBLE"))
+    val dim = dimRow(0).getInt(0)
     val planes = spark.sparkContext.broadcast(
       Array.tabulate(nTables)(t => hyperplanes(nBits, dim, seed = 7L + t * 1000L)))
 
