@@ -179,6 +179,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
         .orderBy("event_type")
     }),
+    "q14_percentile" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
     "q13_rollup" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -343,6 +352,10 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_percentile" ->
+      """SELECT l_returnflag, CAST(round(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE) AS p50,
+        |CAST(round(quantile_cont(l_extendedprice, 0.95), 2) AS DOUBLE) AS p95, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |CAST(sum(l_quantity) AS BIGINT) AS sum_qty

@@ -25,9 +25,19 @@ object StreamingParse {
       .as[Turn]
   }
 
-  /** Streaming parse: identical mapPartitions + broadcast bank as batch P2. */
+  /** Streaming parse, typed path: identical mapPartitions + broadcast bank
+    * as batch P2 (kept as the streaming oracle, like in batch).
+    */
   def parsedStream(turns: Dataset[Turn], bank: Broadcast[PatternBank]): Dataset[ParsedTurn] =
     Parse(turns, bank)
+
+  /** Streaming parse, expression path: the same whole-stage-codegen
+    * `parse_turn` the batch pipeline runs — micro-batch plans get the
+    * zero-allocation kernel too. Equality with the typed path is asserted
+    * in StreamingSpec.
+    */
+  def parsedStreamExpr(turns: DataFrame, bank: PatternBank): DataFrame =
+    Parse.expr(turns, bank)
 
   /** Watermarked tumbling-window per-category counts — the streaming
     * analogue of the route-stage counts.

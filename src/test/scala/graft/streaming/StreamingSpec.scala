@@ -52,6 +52,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("expression-path streaming parse equals the typed streaming path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-expr").toString
+    SyntheticTranscripts.generate(spark, 40L).repartition(4).write.mode("overwrite").parquet(dir)
+
+    val exprStream = StreamingParse.parsedStreamExpr(
+      StreamingParse.turnsStream(spark, dir, maxFilesPerTrigger = 2).toDF(), PatternBank.example)
+      .select("conv_id", "turn_idx", "n_tokens", "n_errors", "category")
+    val q = exprStream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("expr_parsed")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM expr_parsed").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+      val bank = spark.sparkContext.broadcast(PatternBank.example)
+      val want = Parse(spark.read.parquet(dir).as[graft.pipeline.Turn], bank).toDF()
+        .select("conv_id", "turn_idx", "n_tokens", "n_errors", "category").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops duplicate texts across triggers, keeps uniques") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
