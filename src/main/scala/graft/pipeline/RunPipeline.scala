@@ -24,9 +24,8 @@ object RunPipeline {
       aggSecs: Double
   )
 
-  def sparkSession(cores: Int, appName: String = "graft-pipeline"): SparkSession =
-    SparkSession.builder()
-      .master(s"local[$cores]")
+  def sparkSession(cores: Int, appName: String = "graft-pipeline"): SparkSession = {
+    val b = SparkSession.builder()
       .appName(appName)
       // 4 waves per core: smooths stragglers at every core count without
       // AQE needing to split (AQE still coalesces tiny partitions)
@@ -34,7 +33,12 @@ object RunPipeline {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // honor spark-submit's --master on a real cluster; local[cores] is only
+    // the standalone default (setting .master() unconditionally would
+    // silently turn a 1000-executor submit into a single-JVM run)
+    if (sys.props.contains("spark.master")) b.getOrCreate()
+    else b.master(s"local[$cores]").getOrCreate()
+  }
 
   /** Run the full pipeline over an input Dataset[Turn]. Sinks land in
     * `outDir/<category>`; committed sinks are skipped on resume.
