@@ -179,6 +179,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
         .orderBy("event_type")
     }),
+    "q15_corr_subquery" -> ((s, dir) => {
+      // correlated scalar subquery — Catalyst decorrelates it into an
+      // aggregate + join; DuckDB runs the identical SQL
+      tbl(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_above_avg
+          |FROM v_orders o
+          |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM v_orders o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
     "q14_percentile" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -352,6 +363,12 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_corr_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_above_avg
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q14_percentile" ->
       """SELECT l_returnflag, CAST(round(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE) AS p50,
         |CAST(round(quantile_cont(l_extendedprice, 0.95), 2) AS DOUBLE) AS p95, count(*) AS n_rows

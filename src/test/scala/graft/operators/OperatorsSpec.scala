@@ -197,6 +197,52 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sh.length < 10050)
   }
 
+  test("minhash pairs property: random dup-heavy corpora — no false positives, exact groups complete") {
+    import spark.implicits._
+    val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
+    def text(seed: Long): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8 + r.nextInt(8))(vocab(r.nextInt(vocab.length))).mkString(" ")
+    }
+    for (trial <- 0 until 3) {
+      val rnd = new scala.util.Random(1000 + trial)
+      // ~30 base docs, each with 0-3 exact copies and occasional near-twins
+      val rows = (0 until 30).flatMap { i =>
+        val t = text(trial * 100 + i)
+        val copies = (0 to rnd.nextInt(4)).map(c => (i * 100L + c, t))
+        val near = if (rnd.nextBoolean()) Seq((i * 100L + 50, t + " omega")) else Seq.empty
+        copies ++ near
+      }
+      val docs = rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")))
+      val got = Dedup.minhashPairs(docs, threshold = 0.8).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+      val all = rows.toArray
+      val sh = all.map { case (id, t) => id -> Dedup.shingleHashes(t) }.toMap
+      val truePairs = (for {
+        i <- all.indices.iterator; j <- (i + 1) until all.length
+        a = math.min(all(i)._1, all(j)._1); b = math.max(all(i)._1, all(j)._1)
+        jac = Dedup.exactJaccard(sh(all(i)._1), sh(all(j)._1)) if jac >= 0.8
+      } yield ((a, b), jac)).toMap
+
+      // no false positives, and every reported jaccard is the true one
+      got.foreach { case (p, j) =>
+        assert(truePairs.contains(p), s"trial $trial false positive $p")
+        // reported values are rounded to 4 decimals
+        assert(math.abs(truePairs(p) - j) < 5e-5, s"trial $trial wrong jaccard at $p")
+      }
+      // exact-duplicate pairs (jaccard exactly 1.0) must ALL be present
+      truePairs.filter(_._2 == 1.0).keys.foreach { p =>
+        assert(got.contains(p), s"trial $trial missing exact pair $p")
+      }
+      // overall recall stays high
+      val recall = if (truePairs.isEmpty) 1.0 else got.size.toDouble / truePairs.size
+      assert(recall >= 0.9, s"trial $trial recall $recall")
+    }
+  }
+
   test("small-corpus dedup semantics: groups under the cap get all-pairs output") {
     import spark.implicits._
     val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
