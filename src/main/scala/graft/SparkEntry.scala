@@ -268,6 +268,8 @@ object SparkEntry {
       TextAnalysis.langId(tbl(s, dir, "documents")).orderBy("doc_id")),
     "t4_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(tbl(s, dir, "documents")).orderBy("doc_id")),
+    "t5_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(tbl(s, dir, "documents")).orderBy("doc_id")),
 
     // ---- multimodal (real ImageIO decode for images; audio/video stubbed,
     //      see operators/Multimodal) ----
@@ -481,6 +483,14 @@ object SparkEntry {
         |    FROM read_parquet('{STAGED}/parsed/*.parquet'))
         |  GROUP BY 1)
         |ORDER BY n_turns DESC, conv_id LIMIT 50""".stripMargin,
+    "t5_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents)
+        |  GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
+        |SELECT c.doc_id, CAST(round(-sum((c*1.0/n) * ln(c*1.0/n)), 4) AS DOUBLE) AS entropy_nats
+        |FROM c JOIN t USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
     "p5_error_signatures" ->
       """SELECT error_signature, count(*) AS n_turns, CAST(sum(n_errors) AS BIGINT) AS n_errors
         |FROM read_parquet('{STAGED}/parsed/*.parquet')

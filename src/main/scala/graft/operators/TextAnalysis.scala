@@ -82,6 +82,24 @@ object TextAnalysis {
     withScores.select(col("doc_id"), col("lang_true"), best._1.as("lang_pred"))
   }
 
+  /** Character-level Shannon entropy (nats) per document — a cheap
+    * model-free quality signal (gibberish and boilerplate sit at the two
+    * extremes). Pure Column algebra: explode chars → per-char counts →
+    * -Σ p·ln p. One shuffle on (doc_id, ch); the join back to totals stays
+    * co-partitioned on doc_id.
+    */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    val chars = documents
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("doc_id").agg(sum("c").as("n"))
+    counts.join(totals, "doc_id")
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .groupBy("doc_id")
+      .agg(round(-sum(col("p") * log(col("p"))), 4).as("entropy_nats"))
+  }
+
   /** Winnowing-style document fingerprint: minimum rolling hash over k-word
     * windows, as a native expression (no typed-map encoder round trip —
     * round 1 deserialized every row to compute a pure byte function). The
