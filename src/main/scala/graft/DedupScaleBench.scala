@@ -41,18 +41,19 @@ object DedupScaleBench {
 
   def corpus(spark: SparkSession, nUnique: Long, dupFactor: Int, hotCluster: Long): DataFrame = {
     import spark.implicits._
+    require(dupFactor < 1000, "doc_id namespace packs the copy index into 3 decimal digits")
     val uniques = spark.range(nUnique).flatMap { u =>
       val t = text(u)
-      // exact copies (ids interleaved so partitions stay balanced)…
-      val copies = (0 until dupFactor).map(c => (u + c.toLong * nUnique, t))
-      // …plus a sparse population of near-twins
+      // ids pack (unique, copy) so the namespaces can never collide at any
+      // argument size: copies at u*1000+c, near-twins at u*1000+999
+      val copies = (0 until dupFactor).map(c => (u * 1000L + c, t))
       val near =
-        if (u % 50 == 0) Seq((u + 1000000000L, t.replaceFirst("the", "thee")))
+        if (u % 50 == 0) Seq((u * 1000L + 999L, t.replaceFirst("the", "thee")))
         else Seq.empty
       copies ++ near
     }.toDF("doc_id", "text")
     val hot = spark.range(hotCluster)
-      .select((col("id") + 2000000000L).as("doc_id"),
+      .select((col("id") + Long.MaxValue / 2).as("doc_id"),
         lit(text(424242L) + " hot").as("text"))
     uniques.unionByName(hot)
       .withColumn("lang", lit("en"))
@@ -86,6 +87,8 @@ object DedupScaleBench {
         println(f"[dedup-scale] $name docs=$nDocs pairs=$n wall=$secs%.1fs cores=$cores")
       }
       timed("minhash")(Dedup.minhashPairs(docs, threshold = 0.8))
+      timed("minhash-staged")(Dedup.minhashPairs(docs, threshold = 0.8,
+        stagingDir = Some("/tmp/graft-dedup-stage")))
       timed("simhash")(Dedup.simhashPairs(docs, maxHamming = 3))
     } finally spark.stop()
   }

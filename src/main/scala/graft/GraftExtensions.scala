@@ -46,6 +46,7 @@ object GraftExtensions {
     */
   private def sessionBank(): PatternBank =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .flatMap(_.conf.getOption(SchemaPathConf))
       .map(p => bankCache.computeIfAbsent(p,
         path => PatternBank.compile(graft.schema.SchemaConfig.fromFile(path))))

@@ -70,7 +70,10 @@ object SparkEntry {
       .agg(count(lit(1)).as("hits"))
     stats.crossJoin(hits)
       .select(col("n_queries"),
-        (col("hits").cast("double") / col("total") >= minRecall).as("recall_pass"))
+        // vacuous truth on an empty brute set (hits/0 would be NULL)
+        when(col("total") === 0L, lit(true))
+          .otherwise(col("hits").cast("double") / col("total") >= minRecall)
+          .as("recall_pass"))
   }
 
   /** Flagship query on sf=0.001: full parse→enrich→route aggregation over
@@ -231,7 +234,9 @@ object SparkEntry {
       val hits = approx.join(truth, Seq("id_a", "id_b"), "left_semi")
         .agg(count(lit(1)).as("hits"))
       nTrue.crossJoin(hits).select(col("n_true").as("n_true_pairs"),
-        (col("hits").cast("double") / col("n_true") >= 0.8).as("recall_pass"))
+        when(col("n_true") === 0L, lit(true))
+          .otherwise(col("hits").cast("double") / col("n_true") >= 0.8)
+          .as("recall_pass"))
     }),
 
     // ---- similarity search ----

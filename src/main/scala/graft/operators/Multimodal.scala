@@ -186,15 +186,31 @@ object Multimodal {
     * the multimodal path.
     */
   def decodeVerify(assets: DataFrame, framesPerVideo: Int = 4): DataFrame = {
-    val declared = assets.select(col("asset_id"), col("width").as("decl_w"), col("height").as("decl_h"))
-    extractFeatures(assets, nDim = 8, framesPerVideo = framesPerVideo)
-      .join(declared, "asset_id")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    // ONE pass: decode and compare against the declared dims in the same
+    // map — a join against a second branch of `assets` would re-run the
+    // whole asset generation/scan (including image encoding) twice
+    assets.select("asset_id", "media_type", "width", "height", "content")
+      .as[(Long, String, Int, Int, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (_, mt, declW, declH, bytes) =>
+          if (mt.startsWith("image")) {
+            val img = ImageCodec.decode(bytes)
+            val ok = img != null && img.getWidth == declW && img.getHeight == declH
+            (mt, ok, true)
+          } else {
+            val frames = if (mt.startsWith("video"))
+              FakeCodec.sampleFrames(bytes, framesPerVideo).size else 1
+            (mt, true, !mt.startsWith("video") || frames == framesPerVideo)
+          }
+        }
+      }
+      .toDF("media_type", "dims_match", "frames_match")
       .groupBy("media_type")
       .agg(
         (count(lit(1)) > 0).as("has_assets"),
-        (sum(when(col("width") === col("decl_w") && col("height") === col("decl_h"), 0L)
-          .otherwise(1L)) === 0L).as("dims_ok"),
-        (sum(when(col("media_type").startsWith("video") && col("n_frames") =!= framesPerVideo, 1L)
-          .otherwise(0L)) === 0L).as("frames_ok"))
+        (sum(when(col("dims_match"), 0L).otherwise(1L)) === 0L).as("dims_ok"),
+        (sum(when(col("frames_match"), 0L).otherwise(1L)) === 0L).as("frames_ok"))
   }
 }

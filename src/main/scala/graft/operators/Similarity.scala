@@ -158,7 +158,8 @@ object Similarity {
     val planes = spark.sparkContext.broadcast(
       Array.tabulate(nTables)(t => hyperplanes(nBits, dim, seed = 7L + t * 1000L)))
 
-    val bucketed = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val bucketed = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         planes.value.iterator.zipWithIndex.map { case (p, t) =>

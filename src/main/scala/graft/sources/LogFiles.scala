@@ -73,6 +73,10 @@ object LogFiles {
         }
         i += 1
       }
+      // templating scans only THIS event's tokens — signatureOfLine over the
+      // whole file would make a dense-error file O(events × file_tokens),
+      // and could pick up a neighboring event sharing the boundary line
+      val eventToks = toks.slice(span.tokenStart, span.tokenEnd)
       LogEvent(
         file = file,
         event_idx = idx,
@@ -84,7 +88,7 @@ object LogFiles {
         n_tokens = span.tokenEnd - span.tokenStart,
         n_errors = nErrors,
         error_signature =
-          if (firstErrorLine < 0) null else Parse.signatureOfLine(bank, toks, firstErrorLine),
+          if (firstErrorLine < 0) null else Parse.signatureOfLine(bank, eventToks, firstErrorLine),
         category = if (nErrors > 0) Category.Errors else Category.Unmatched,
         text = sb.toString
       )
