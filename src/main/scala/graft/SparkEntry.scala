@@ -275,6 +275,15 @@ object SparkEntry {
       TextAnalysis.fingerprint(tbl(s, dir, "documents")).orderBy("doc_id")),
     "t5_char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(tbl(s, dir, "documents")).orderBy("doc_id")),
+    // the corpus has no PII, so every 9th doc gets a deterministic email +
+    // URL appended — the oracle reproduces the same injection in SQL
+    "t6_redact" -> ((s, dir) =>
+      TextAnalysis.redact(
+        tbl(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 9 === 0,
+            concat(col("text"), lit(" contact bob@example.com via https://ex.org/x?id=1")))
+            .otherwise(col("text"))))
+        .orderBy("doc_id")),
 
     // ---- multimodal (real ImageIO decode for images; audio/video stubbed,
     //      see operators/Multimodal) ----
@@ -488,6 +497,16 @@ object SparkEntry {
         |    FROM read_parquet('{STAGED}/parsed/*.parquet'))
         |  GROUP BY 1)
         |ORDER BY n_turns DESC, conv_id LIMIT 50""".stripMargin,
+    "t6_redact" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+        |  THEN text || ' contact bob@example.com via https://ex.org/x?id=1' ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+        |regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  'https?://[^ \t\n]+', '<URL>', 'g') AS clean_text
+        |FROM d ORDER BY doc_id""".stripMargin,
     "t5_char_entropy" ->
       """WITH c AS (
         |  SELECT doc_id, ch, count(*) AS c FROM (

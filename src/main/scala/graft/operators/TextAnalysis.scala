@@ -100,6 +100,22 @@ object TextAnalysis {
       .agg(round(-sum(col("p") * log(col("p"))), 4).as("entropy_nats"))
   }
 
+  /** PII-style redaction: emails and URLs replaced with fixed tags, with
+    * per-document hit counts — the scrubbing pass every training-data
+    * pipeline runs before tokenization. Patterns stay in the regex subset
+    * where Java's engine and RE2 (DuckDB) agree, so the oracle replays them
+    * exactly. Pure Column algebra (regexp_count/regexp_replace, codegen'd).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ \\t\\n]+"
+  def redact(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("bigint").as("n_emails"),
+      regexp_count(col("text"), lit(UrlPattern)).cast("bigint").as("n_urls"),
+      regexp_replace(regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>").as("clean_text"))
+
   /** Winnowing-style document fingerprint: minimum rolling hash over k-word
     * windows, as a native expression (no typed-map encoder round trip —
     * round 1 deserialized every row to compute a pure byte function). The
