@@ -53,6 +53,21 @@ object StreamingParse {
   /** Per-conversation running progress. */
   final case class ConvProgress(conv_id: String, turns_seen: Long, errors_seen: Long, last_turn_idx: Int)
 
+  /** Streaming route/fan-out — the P4 sink stage as a continuous query:
+    * partitionBy(category) parquet sink with exactly-once file commits via
+    * the streaming checkpoint (the streaming analogue of the batch
+    * manifest). Returns the started query; callers own its lifecycle.
+    */
+  def routeStream(parsed: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    parsed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("category")
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Streaming exact dedup over a document-shaped stream: first arrival of
     * each text hash wins, duplicates within the watermark horizon are
     * dropped. `dropDuplicatesWithinWatermark` keys state on the slim

@@ -52,6 +52,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming route writes per-category partitioned sinks equal to batch counts") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-stream-route-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-route-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-route-ckpt").toString
+    SyntheticTranscripts.generate(spark, 60L).repartition(4).write.mode("overwrite").parquet(in)
+
+    val parsed = StreamingParse.parsedStreamExpr(
+      StreamingParse.turnsStream(spark, in, maxFilesPerTrigger = 2).toDF(), PatternBank.example)
+      .select("conv_id", "turn_idx", "category", "n_tokens")
+    val q = StreamingParse.routeStream(parsed, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    // category=X partition dirs exist and counts equal the batch computation
+    val gotDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("category=")).toSet
+    val want = Parse.expr(spark.read.parquet(in), PatternBank.example)
+      .groupBy("category").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotDirs == want.keySet.map("category=" + _))
+    val got = spark.read.parquet(out).groupBy("category").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("expression-path streaming parse equals the typed streaming path") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-expr").toString
