@@ -511,10 +511,10 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT doc_id, ch, count(*) AS c FROM (
         |    SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents)
-        |  GROUP BY 1, 2),
-        |t AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
-        |SELECT c.doc_id, CAST(round(-sum((c*1.0/n) * ln(c*1.0/n)), 4) AS DOUBLE) AS entropy_nats
-        |FROM c JOIN t USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(round(ln(CAST(sum(c) AS DOUBLE))
+        |  - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 4) AS DOUBLE) AS entropy_nats
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "p5_error_signatures" ->
       """SELECT error_signature, count(*) AS n_turns, CAST(sum(n_errors) AS BIGINT) AS n_errors
         |FROM read_parquet('{STAGED}/parsed/*.parquet')

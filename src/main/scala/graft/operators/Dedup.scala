@@ -206,8 +206,13 @@ object Dedup {
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"), first("text").as("text"))
     val groups = stagingDir match {
       case Some(dir) =>
-        collapsed.write.mode("overwrite").parquet(dir)
-        spark.read.parquet(dir)
+        // unique subdirectory per call: overwriting a shared path would
+        // invalidate the lazy frame returned by an earlier call that staged
+        // to the same dir. The caller owns the directory's lifecycle (this
+        // is an explicit, documented side effect of the staged variant).
+        val target = s"$dir/collapse-${java.util.UUID.randomUUID()}"
+        collapsed.write.mode("errorifexists").parquet(target)
+        spark.read.parquet(target)
       case None => collapsed
     }
     val members = documents.select(col("doc_id"), textKey.as("tk"))

@@ -137,6 +137,33 @@ object Multimodal {
     * Audio/video: FakeCodec (documented stub). Output: (asset_id,
     * media_type, width, height, n_frames, embedding) with DECODED dims.
     */
+  /** The per-asset decode kernel — ONE implementation shared by
+    * [[extractFeatures]] and [[decodeVerify]], so the verification query
+    * exercises exactly the production decode path (a drifting private copy
+    * would let regressions pass verification).
+    * Returns (decodedW, decodedH, nFrames, embedding).
+    */
+  private def decodeOne(mt: String, declW: Int, declH: Int, bytes: Array[Byte],
+                        nDim: Int, framesPerVideo: Int): (Int, Int, Int, Array[Float]) = {
+    if (mt.startsWith("image")) {
+      val img = ImageCodec.decode(bytes)
+      if (img == null) (-1, -1, 1, new Array[Float](nDim))
+      else (img.getWidth, img.getHeight, 1, ImageCodec.features(img, nDim))
+    } else {
+      val isVideo = mt.startsWith("video")
+      val frames = if (isVideo) FakeCodec.sampleFrames(bytes, framesPerVideo) else Seq(bytes)
+      // mean-pool per-frame features
+      val acc = new Array[Float](nDim)
+      frames.foreach { fb =>
+        val f = FakeCodec.features(fb, nDim)
+        var d = 0
+        while (d < nDim) { acc(d) += f(d) / frames.size; d += 1 }
+      }
+      // stub decode reports the declared dims (no real codec here)
+      (declW, declH, frames.size, acc)
+    }
+  }
+
   def extractFeatures(assets: DataFrame, nDim: Int = 32, framesPerVideo: Int = 4): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -145,23 +172,8 @@ object Multimodal {
       .mapPartitions { iter =>
         // batch-shaped: one pass per partition, codec state amortized here
         iter.map { case (id, mt, declW, declH, bytes) =>
-          if (mt.startsWith("image")) {
-            val img = ImageCodec.decode(bytes)
-            if (img == null) (id, mt, -1, -1, 1, new Array[Float](nDim))
-            else (id, mt, img.getWidth, img.getHeight, 1, ImageCodec.features(img, nDim))
-          } else {
-            val isVideo = mt.startsWith("video")
-            val frames = if (isVideo) FakeCodec.sampleFrames(bytes, framesPerVideo) else Seq(bytes)
-            // mean-pool per-frame features
-            val acc = new Array[Float](nDim)
-            frames.foreach { fb =>
-              val f = FakeCodec.features(fb, nDim)
-              var d = 0
-              while (d < nDim) { acc(d) += f(d) / frames.size; d += 1 }
-            }
-            // stub decode reports the declared dims (no real codec here)
-            (id, mt, declW, declH, frames.size, acc)
-          }
+          val (w, h, frames, emb) = decodeOne(mt, declW, declH, bytes, nDim, framesPerVideo)
+          (id, mt, w, h, frames, emb)
         }
       }
       .toDF("asset_id", "media_type", "width", "height", "n_frames", "embedding")
@@ -188,22 +200,17 @@ object Multimodal {
   def decodeVerify(assets: DataFrame, framesPerVideo: Int = 4): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    // ONE pass: decode and compare against the declared dims in the same
-    // map — a join against a second branch of `assets` would re-run the
-    // whole asset generation/scan (including image encoding) twice
+    // ONE pass: decode (via the shared production kernel) and compare
+    // against the declared dims in the same map — a join against a second
+    // branch of `assets` would re-run the whole asset generation/scan
+    // (including image encoding) twice
     assets.select("asset_id", "media_type", "width", "height", "content")
       .as[(Long, String, Int, Int, Array[Byte])]
       .mapPartitions { iter =>
         iter.map { case (_, mt, declW, declH, bytes) =>
-          if (mt.startsWith("image")) {
-            val img = ImageCodec.decode(bytes)
-            val ok = img != null && img.getWidth == declW && img.getHeight == declH
-            (mt, ok, true)
-          } else {
-            val frames = if (mt.startsWith("video"))
-              FakeCodec.sampleFrames(bytes, framesPerVideo).size else 1
-            (mt, true, !mt.startsWith("video") || frames == framesPerVideo)
-          }
+          val (w, h, frames, _) = decodeOne(mt, declW, declH, bytes, 1, framesPerVideo)
+          (mt, w == declW && h == declH,
+            !mt.startsWith("video") || frames == framesPerVideo)
         }
       }
       .toDF("media_type", "dims_match", "frames_match")

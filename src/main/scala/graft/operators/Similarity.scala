@@ -76,7 +76,8 @@ object Similarity {
     import spark.implicits._
 
     // deterministic training sample: smallest vec_ids
-    val sample = corpus.orderBy(col("vec_id")).limit(sampleSize)
+    val sample = corpus.filter(col("embedding").isNotNull)
+      .orderBy(col("vec_id")).limit(sampleSize)
       .select("embedding").as[Array[Float]].collect()
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
@@ -114,12 +115,14 @@ object Similarity {
     }
     val bc = spark.sparkContext.broadcast(centroids)
 
-    val assigned = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val assigned = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
       .as[(Long, Array[Float])]
       .map { case (id, emb) => (nearest(emb, bc.value), id, emb) }
       .toDF("cell", "id", "emb")
 
-    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = queries.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, emb) =>
         bc.value.indices.map(c => (c, cos(emb, bc.value(c))))
@@ -169,7 +172,8 @@ object Similarity {
       .toDF("bucket", "id", "emb")
 
     // per table: own bucket + all 1-bit-flip buckets (multi-probe LSH)
-    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = queries.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, emb) =>
         planes.value.iterator.zipWithIndex.flatMap { case (p, t) =>

@@ -89,15 +89,18 @@ object TextAnalysis {
     * co-partitioned on doc_id.
     */
   def charEntropy(documents: DataFrame): DataFrame = {
-    val chars = documents
+    // H = -Σ p·ln p = ln(n) − (Σ c·ln c)/n — the identity needs only the
+    // per-char counts, so the whole thing is TWO aggregations (chars →
+    // (doc, ch) counts → per-doc), no join, no third shuffle
+    documents
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .filter(col("ch") =!= "")
-    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy("doc_id").agg(sum("c").as("n"))
-    counts.join(totals, "doc_id")
-      .withColumn("p", col("c").cast("double") / col("n"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
-      .agg(round(-sum(col("p") * log(col("p"))), 4).as("entropy_nats"))
+      .agg(round(
+        log(sum("c").cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum("c").cast("double"), 4).as("entropy_nats"))
   }
 
   /** PII-style redaction: emails and URLs replaced with fixed tags, with

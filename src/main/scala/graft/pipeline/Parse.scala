@@ -43,16 +43,15 @@ object Parse {
     } catch { case _: Exception => null }
   }
 
-  /** Pure per-turn parse: tokenize + extract routing fields. Shared by the
-    * Spark stage and the test oracle (which is the point: the oracle in
-    * tests re-implements this naively and must agree).
+  /** Single-pass timestamp/error extraction over a token sequence — ONE
+    * implementation shared by the typed parse stage and the raw-log-file
+    * source ([[graft.sources.LogFiles]]), so the two surfaces can never
+    * disagree on error-detection or first-timestamp semantics.
     */
-  def parseTurn(bank: PatternBank, t: Turn): ParsedTurn = {
-    val toks = Tokenizer.tokenize(bank, if (t.text == null) "" else t.text)
-    val events = Tokenizer.assembleEvents(toks)
-    val loglevelId = bank.loglevelVarId
+  final case class TokenScan(firstTs: String, tsSchemaId: Int, nErrors: Int, firstErrorLine: Int)
 
-    var nLines = 1
+  def scanTokens(bank: PatternBank, toks: collection.IndexedSeq[Token]): TokenScan = {
+    val loglevelId = bank.loglevelVarId
     var firstTs: String = null
     var tsSchemaId = -1
     var nErrors = 0
@@ -69,7 +68,25 @@ object Parse {
         nErrors += 1
         if (firstErrorLine < 0) firstErrorLine = tok.lineNum
       }
-      if (tok.tokenType == TokenType.StaticTextWithEndLine) nLines += 1
+      i += 1
+    }
+    TokenScan(firstTs, tsSchemaId, nErrors, firstErrorLine)
+  }
+
+  /** Pure per-turn parse: tokenize + extract routing fields. Shared by the
+    * Spark stage and the test oracle (which is the point: the oracle in
+    * tests re-implements this naively and must agree).
+    */
+  def parseTurn(bank: PatternBank, t: Turn): ParsedTurn = {
+    val toks = Tokenizer.tokenize(bank, if (t.text == null) "" else t.text)
+    val events = Tokenizer.assembleEvents(toks)
+    val scan = scanTokens(bank, toks)
+    import scan.{firstTs, tsSchemaId, nErrors, firstErrorLine}
+
+    var nLines = 1
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).tokenType == TokenType.StaticTextWithEndLine) nLines += 1
       i += 1
     }
     if (toks.nonEmpty && toks.last.tokenType == TokenType.StaticTextWithEndLine) nLines -= 1

@@ -25,14 +25,17 @@ object RunPipeline {
   )
 
   def sparkSession(cores: Int, appName: String = "graft-pipeline"): SparkSession = {
-    val b = SparkSession.builder()
+    var b = SparkSession.builder()
       .appName(appName)
-      // 4 waves per core: smooths stragglers at every core count without
-      // AQE needing to split (AQE still coalesces tiny partitions)
-      .config("spark.sql.shuffle.partitions", math.max(16, cores * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // sizing confs defer to spark-submit --conf; the local default is
+    // 4 waves per core (smooths stragglers at every core count, AQE still
+    // coalesces tiny partitions). Hardcoding it would scale shuffle width
+    // to the DRIVER's cores on a 200-executor cluster.
+    if (!sys.props.contains("spark.sql.shuffle.partitions"))
+      b = b.config("spark.sql.shuffle.partitions", math.max(16, cores * 4).toString)
     // honor spark-submit's --master on a real cluster; local[cores] is only
     // the standalone default (setting .master() unconditionally would
     // silently turn a 1000-executor submit into a single-JVM run)

@@ -49,47 +49,33 @@ object LogFiles {
       .flatMap { case (file, content) => eventsOf(file, content, bank.value) }
   }
 
-  /** Pure per-file parse — shared with tests. */
+  /** Pure per-file parse — shared with tests. Extraction semantics come
+    * from [[Parse.scanTokens]], the same kernel the transcript pipeline
+    * uses, applied to THIS event's token slice only (a whole-file scan per
+    * event would make dense-error files O(events × file_tokens), and could
+    * pick up a neighboring event sharing the boundary line).
+    */
   def eventsOf(file: String, content: String, bank: PatternBank): Iterator[LogEvent] = {
     val toks = Tokenizer.tokenize(bank, content)
-    val loglevelId = bank.loglevelVarId
     Tokenizer.assembleEvents(toks).iterator.zipWithIndex.map { case (span, idx) =>
-      var firstTs: String = null
-      var tsSchemaId = -1
-      var nErrors = 0
-      var firstErrorLine = -1
-      val sb = new java.lang.StringBuilder(128)
-      var i = span.tokenStart
-      while (i < span.tokenEnd) {
-        val t = toks(i)
-        sb.append(t.value)
-        if (t.tokenType == TokenType.Timestamp && firstTs == null) {
-          firstTs = t.value; tsSchemaId = t.schemaId
-        }
-        if (t.tokenType == TokenType.Variable && t.schemaId == loglevelId &&
-            (t.value == "ERROR" || t.value == "FATAL")) {
-          nErrors += 1
-          if (firstErrorLine < 0) firstErrorLine = t.lineNum
-        }
-        i += 1
-      }
-      // templating scans only THIS event's tokens — signatureOfLine over the
-      // whole file would make a dense-error file O(events × file_tokens),
-      // and could pick up a neighboring event sharing the boundary line
       val eventToks = toks.slice(span.tokenStart, span.tokenEnd)
+      val scan = Parse.scanTokens(bank, eventToks)
+      val sb = new java.lang.StringBuilder(128)
+      eventToks.foreach(t => sb.append(t.value))
       LogEvent(
         file = file,
         event_idx = idx,
         line_start = span.lineStart,
         line_end = span.lineEnd,
         has_timestamp = span.hasTimestamp,
-        first_ts = firstTs,
-        ts_extracted = Parse.parseTsToken(firstTs, tsSchemaId),
+        first_ts = scan.firstTs,
+        ts_extracted = Parse.parseTsToken(scan.firstTs, scan.tsSchemaId),
         n_tokens = span.tokenEnd - span.tokenStart,
-        n_errors = nErrors,
+        n_errors = scan.nErrors,
         error_signature =
-          if (firstErrorLine < 0) null else Parse.signatureOfLine(bank, eventToks, firstErrorLine),
-        category = if (nErrors > 0) Category.Errors else Category.Unmatched,
+          if (scan.firstErrorLine < 0) null
+          else Parse.signatureOfLine(bank, eventToks, scan.firstErrorLine),
+        category = if (scan.nErrors > 0) Category.Errors else Category.Unmatched,
         text = sb.toString
       )
     }
