@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(simhashDesc)
     ext.injectFunction(cosineDesc)
+    ext.injectFunction(entropyDesc)
+    ext.injectFunction(fingerprintDesc)
     ext.injectFunction(parseTurnDesc)
   }
 }
@@ -37,10 +39,13 @@ object GraftExtensions {
   val SchemaPathConf = "spark.graft.schema.path"
 
   private lazy val exampleBank: PatternBank = PatternBank.example
-  private val bankCache = new java.util.concurrent.ConcurrentHashMap[String, PatternBank]()
+  // keyed by (path, lastModified): editing the schema file in a long-lived
+  // session recompiles instead of silently parsing with the stale bank
+  private val bankCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), PatternBank]()
 
   /** Bank for the current session: the conf-named YAML (compiled once per
-    * path, process-wide) or the example schema. Resolved at
+    * (path, mtime), process-wide) or the example schema. Resolved at
     * expression-build (analysis) time, so different sessions of one JVM can
     * parse with different schemas.
     */
@@ -48,8 +53,11 @@ object GraftExtensions {
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .flatMap(_.conf.getOption(SchemaPathConf))
-      .map(p => bankCache.computeIfAbsent(p,
-        path => PatternBank.compile(graft.schema.SchemaConfig.fromFile(path))))
+      .map { p =>
+        val mtime = new java.io.File(p).lastModified()
+        bankCache.computeIfAbsent((p, mtime),
+          key => PatternBank.compile(graft.schema.SchemaConfig.fromFile(key._1)))
+      }
       .getOrElse(exampleBank)
 
   private def info(name: String, usage: String) =
@@ -72,6 +80,16 @@ object GraftExtensions {
       info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float arrays"),
       arity("cosine_similarity", 2)(args => CosineSimilarity(args(0), args(1))))
 
+  val entropyDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("char_entropy"),
+      info("char_entropy", "char_entropy(text) - Shannon entropy (nats) over code points"),
+      arity("char_entropy", 1)(args => graft.functions.CharEntropy(args.head)))
+
+  val fingerprintDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("doc_fingerprint"),
+      info("doc_fingerprint", "doc_fingerprint(text) - winnowing min-hash fingerprint (4-word windows)"),
+      arity("doc_fingerprint", 1)(args => graft.functions.Fingerprint(args.head)))
+
   val parseTurnDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("parse_turn"),
       info("parse_turn", "parse_turn(text, role, tool) - tokenize + extract routing fields"),
@@ -80,7 +98,8 @@ object GraftExtensions {
   /** Register on an existing session (tests / spark-shell convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(simhashDesc, cosineDesc, parseTurnDesc).foreach { case (id, inf, builder) =>
+    Seq(simhashDesc, cosineDesc, entropyDesc, fingerprintDesc, parseTurnDesc)
+      .foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }

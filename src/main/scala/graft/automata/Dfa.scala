@@ -78,14 +78,15 @@ final class DfaSimulator(dfa: DenseDfa) {
   def resetSimulation(): Unit = state = 0
 
   /** Step the simulation by one character. Returns the pattern id accepted
-    * AT the new state (-1 if none) and whether the simulation is still in a
-    * live state; once dead, every further step reports dead until
-    * [[resetSimulation]].
+    * AT the new state (-1 if none) and whether the step found a valid
+    * transition. On a dead end the current state is left UNCHANGED — exactly
+    * the reference's `simulate_single_char` (dfa.rs:415-458) — so a later
+    * character with a valid transition from the last good state resumes
+    * matching without a [[resetSimulation]].
     */
   def simulateSingleChar(c: Char): (Int, Boolean) = {
-    if (state < 0) return (-1, false)
     val nxt = dfa.next(state, c)
-    if (nxt < 0) { state = -1; return (-1, false) }
+    if (nxt < 0) return (-1, false)
     state = nxt
     (dfa.acceptedPattern(nxt), true)
   }

@@ -2,18 +2,21 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot paths Spark lacks built-ins for.
   * Preference order per the build brief: compose built-ins, else a custom
-  * Expression (these), before any UDF. Both evaluate directly over Tungsten
+  * Expression (these), before any UDF. All evaluate directly over Tungsten
   * representations (ArrayData / UTF8String) — no boxing, no Row copy — and
-  * stay null-safe. CodegenFallback is acceptable here: each call is O(dim)
-  * or O(len) work, so the virtual-call overhead is a rounding error compared
-  * to a boxed Scala UDF.
+  * stay null-safe. Each implements `doGenCode` as an inlined call to a
+  * static kernel, so the expression participates in whole-stage codegen:
+  * no per-row virtual dispatch through `Expression.eval`, no boxed
+  * `InternalRow` hand-off (the round-2 CodegenFallback path boxed both
+  * operands per call — measurable when cosine sits inside the d6/d7/s1–s5
+  * candidate loops at millions of pairs).
   */
 
 /** Cosine similarity between two ARRAY<FLOAT> columns (returns DOUBLE).
@@ -21,23 +24,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * the LSH re-rank step.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
-    val y = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(x.length, y.length)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSimilarity.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_similarity"
+}
+
+object CosineSimilarity {
+  /** Static kernel shared by interpreted eval and generated code. Reads
+    * elements in place (`getFloat`) — no `toFloatArray` copy per call.
+    */
+  def compute(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      dot += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i)
+      val a = x.getFloat(i).toDouble
+      val b = y.getFloat(i).toDouble
+      dot += a * b; nx += a * a; ny += b * b
       i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-  override def prettyName: String = "cosine_similarity"
 }
 
 /** 64-bit SimHash over whitespace-separated lowercase words of a STRING
@@ -45,12 +58,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * stable across runs/partitionings — required for the dedup oracle tests.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    SimHash64.compute(s)
-  }
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.compute(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c.toString())")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "simhash64"
 }
@@ -110,10 +123,12 @@ object SimHash64 {
   * Native expression: no encoder round trip, stays inside the row pipeline.
   */
 case class Fingerprint(child: Expression, window: Int = 4)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     Fingerprint.compute(v.asInstanceOf[UTF8String].toString, window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fingerprint.compute($c.toString(), $window)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "doc_fingerprint"
 }
@@ -157,6 +172,75 @@ object Fingerprint {
   }
 }
 
+/** Character-level Shannon entropy (nats) of a STRING column: counts per
+  * code point, H = ln(n) − (Σ c·ln c)/n. NULL for the empty string (no
+  * characters → entropy undefined; matches the explode-formulation and the
+  * DuckDB oracle, where an empty text simply produces no group).
+  *
+  * This replaces round 2's `explode(split(text, ''))` formulation, whose
+  * plan shuffled ONE ROW PER INPUT CHARACTER on (doc_id, ch) — a
+  * full-corpus-cardinality exchange to compute a per-row scalar. As a unary
+  * expression it is O(len) per row with ZERO shuffles, the same single-pass
+  * shape as the reference's scan (dfa.rs:250-413 compiles once, then one
+  * pass over input bytes).
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    if (u.numBytes() == 0) null else CharEntropy.compute(u)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numBytes() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.CharEntropy.compute($c);
+         |}
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_entropy"
+}
+
+object CharEntropy {
+  /** Static kernel: per-code-point counts (dense 0..127 array for ASCII,
+    * spill map beyond), then H = ln(n) − (Σ c·ln c)/n over the counts.
+    * Counting per code point matches the oracle's `(?s).` extraction.
+    */
+  def compute(u: UTF8String): Double = {
+    val s = u.toString
+    val ascii = new Array[Int](128)
+    var other: java.util.HashMap[Integer, Integer] = null
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Integer]()
+        other.merge(cp, 1, (a, b) => a + b)
+      }
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var sumCLnC = 0.0
+    var c = 0
+    while (c < 128) {
+      val k = ascii(c)
+      if (k > 0) sumCLnC += k * math.log(k.toDouble)
+      c += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) { val k = it.next(); sumCLnC += k * math.log(k.toDouble) }
+    }
+    math.log(n.toDouble) - sumCLnC / n
+  }
+}
+
 object functions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def cosine_similarity(a: Column, b: Column): Column =
@@ -164,4 +248,5 @@ object functions {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def doc_fingerprint(c: Column, window: Int = 4): Column =
     column(Fingerprint(expression(c), window))
+  def char_entropy(c: Column): Column = column(CharEntropy(expression(c)))
 }

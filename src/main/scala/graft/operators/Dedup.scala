@@ -353,8 +353,11 @@ object Dedup {
     * the DuckDB-verifiable oracle for the LSH path above.
     */
   def embeddingNearDupBrute(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    // same null guard as the LSH path, so the d7 recall gate's exact and
+    // approximate sides see identical inputs
+    val nonNull = embeddings.filter(col("embedding").isNotNull)
+    val a = nonNull.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = nonNull.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.functions.cosine_similarity(col("emb_a"), col("emb_b")).as("cos"))

@@ -20,10 +20,15 @@ import graft.pipeline.Rng
   */
 object Similarity {
 
-  /** Brute-force exact top-k neighbors for each query vector. */
+  /** Brute-force exact top-k neighbors for each query vector. Null
+    * embeddings are dropped on BOTH sides — the same guard the approximate
+    * paths apply, so exact-vs-ANN recall gates compare identical inputs.
+    */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
-    val c = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val q = queries.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine_similarity(col("q_emb"), col("emb")).as("score"))

@@ -84,24 +84,20 @@ object TextAnalysis {
 
   /** Character-level Shannon entropy (nats) per document — a cheap
     * model-free quality signal (gibberish and boilerplate sit at the two
-    * extremes). Pure Column algebra: explode chars → per-char counts →
-    * -Σ p·ln p. One shuffle on (doc_id, ch); the join back to totals stays
-    * co-partitioned on doc_id.
+    * extremes). Native unary expression (H = ln(n) − (Σ c·ln c)/n over
+    * per-code-point counts): O(len) per row, ZERO shuffles, whole-stage
+    * codegen'd. Round 2 computed the identical formula via
+    * `explode(split(text,''))` + two aggregations — correct, but its plan
+    * shuffled one row per input character (~10¹⁴ exchange rows at 100 TB
+    * for a per-row scalar); the expression keeps it a map-only scan.
+    * Empty texts produce no row (the explode formulation's and the DuckDB
+    * oracle's natural semantics).
     */
-  def charEntropy(documents: DataFrame): DataFrame = {
-    // H = -Σ p·ln p = ln(n) − (Σ c·ln c)/n — the identity needs only the
-    // per-char counts, so the whole thing is TWO aggregations (chars →
-    // (doc, ch) counts → per-doc), no join, no third shuffle
+  def charEntropy(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .filter(col("ch") =!= "")
-      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(round(
-        log(sum("c").cast("double")) -
-          sum(col("c").cast("double") * log(col("c").cast("double"))) /
-            sum("c").cast("double"), 4).as("entropy_nats"))
-  }
+      .select(col("doc_id"),
+        round(graft.functions.functions.char_entropy(col("text")), 4).as("entropy_nats"))
+      .filter(col("entropy_nats").isNotNull)
 
   /** PII-style redaction: emails and URLs replaced with fixed tags, with
     * per-document hit counts — the scrubbing pass every training-data

@@ -207,10 +207,12 @@ class AutomataSpec extends AnyFunSuite {
     assert(sim.simulateSingleChar('a') == (0, true))
     assert(sim.simulateSingleChar('b') == (0, true))
     assert(sim.simulateSingleChar('b') == (-1, false))
-    // once dead, stays dead until reset
-    assert(sim.simulateSingleChar('a') == (-1, false))
     sim.resetSimulation()
     assert(sim.simulateSingleChar('c') == (1, true))
+    // dead end does NOT latch: state stays at the last good state
+    // (reference semantics, dfa.rs:415-458 — current_state unchanged on a
+    // missing transition), so a later valid char resumes from there
+    assert(sim.simulateSingleChar('x') == (-1, false))
     assert(sim.simulateSingleChar('c') == (1, true))
     assert(sim.simulateSingleChar('c') == (1, true))
     assert(sim.simulateSingleChar('a') == (-1, true)) // live prefix of c+ab, accepts nothing

@@ -155,6 +155,70 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withNull.select(graft.functions.functions.cosine_similarity(col("a"), col("b"))).first().isNullAt(0))
   }
 
+  test("char_entropy: known values, empty/null semantics, equals the explode-agg formulation") {
+    import spark.implicits._
+    // hand-computed: "aaaa" → 0; "ab" → ln 2; "aab" → ln3 − (2 ln2)/3
+    val known = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aab"), (4L, ""), (5L, null))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(known).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // empty and null docs produce no row
+    assert(got(1L) == 0.0)
+    assert(math.abs(got(2L) - math.log(2)) < 1e-4)
+    assert(math.abs(got(3L) - (math.log(3) - 2 * math.log(2) / 3)) < 1e-4)
+
+    // the round-2 explode-based formulation is the independent oracle: the
+    // native expression must reproduce it on the real corpus, rounded
+    val viaExplode = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(
+        log(sum("c").cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum("c").cast("double"), 4).as("entropy_nats"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaExpr = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaExpr == viaExplode)
+  }
+
+  test("char_entropy plan is map-only: no Exchange, no Generate (the 100 TB shape)") {
+    val plan = TextAnalysis.charEntropy(docs).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan)
+  }
+
+  test("native expressions compile under forbidden codegen fallback and match interpreted eval") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val f = graft.functions.functions
+      val rows = docs.limit(100)
+        .select(col("doc_id"), col("text"),
+          f.simhash64(col("text")).as("sig"),
+          f.doc_fingerprint(col("text")).as("fp"),
+          f.char_entropy(col("text")).as("h"))
+        .collect()
+      assert(rows.length == 100)
+      rows.foreach { r =>
+        val t = r.getString(1)
+        assert(r.getLong(2) == graft.functions.SimHash64.compute(t))
+        assert(r.getLong(3) == graft.functions.Fingerprint.compute(t, 4))
+        assert(math.abs(r.getDouble(4) -
+          graft.functions.CharEntropy.compute(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t))) < 1e-12)
+      }
+      // cosine through generated code, against the static kernel
+      val pairs = Seq((Array(3f, 4f, 1f), Array(4f, 3f, 2f)), (Array(1f, 0f, 0f), Array(0f, 1f, 0f)))
+        .toDF("a", "b")
+      val cos = pairs.select(f.cosine_similarity(col("a"), col("b"))).collect().map(_.getDouble(0))
+      assert(math.abs(cos(0) - (3.0 * 4 + 4 * 3 + 1 * 2) / (5.0990195135927845 * math.sqrt(29))) < 1e-12)
+      assert(cos(1) == 0.0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("language id predicts mostly en/und on the english-vocab corpus; deterministic") {
     val preds = TextAnalysis.langId(docs).groupBy("lang_pred").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
