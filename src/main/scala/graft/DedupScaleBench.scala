@@ -87,8 +87,10 @@ object DedupScaleBench {
         println(f"[dedup-scale] $name docs=$nDocs pairs=$n wall=$secs%.1fs cores=$cores")
       }
       timed("minhash")(Dedup.minhashPairs(docs, threshold = 0.8))
-      timed("minhash-staged")(Dedup.minhashPairs(docs, threshold = 0.8,
-        stagingDir = Some("/tmp/graft-dedup-stage")))
+      val stage = graft.pipeline.Staging.tempDir("graft-dedup-stage")
+      try timed("minhash-staged")(Dedup.minhashPairs(docs, threshold = 0.8,
+        stagingDir = Some(stage)))
+      finally graft.pipeline.Staging.deleteRecursively(stage)
       timed("simhash")(Dedup.simhashPairs(docs, maxHamming = 3))
     } finally spark.stop()
   }

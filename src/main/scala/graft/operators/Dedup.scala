@@ -182,15 +182,19 @@ object Dedup {
       /** Optional parquet staging for the exact-collapse result. The
         * collapse feeds four plan branches (banding, verification ×2,
         * expansion); the default lazy plan recomputes it per branch —
-        * acceptable up to moderate corpora, and keeps the operator a pure
-        * plan with no cache lifecycle. For huge corpora pass a directory:
-        * the collapsed uniques are written ONCE and every branch reads the
-        * slim staged table (the standard multi-job shape of production
-        * dedup pipelines; this runs one write job at call time). An
-        * internal .persist() is deliberately NOT used: the operator returns
-        * a lazy frame, so it could never unpersist, and a leaked cache
-        * entry degrades every later job in the app (measured: a held 150k
-        * -doc cache made the next operator 7× slower).
+        * acceptable only for small corpora (measured 7+ full text scans),
+        * so pass a directory for anything real: the collapsed uniques are
+        * written ONCE at call time and every branch reads the slim staged
+        * table (the standard multi-job shape of production dedup
+        * pipelines). The CALLER owns the directory's lifecycle: supply a
+        * unique path per call (staging is written with overwrite — reusing
+        * a path invalidates the lazy frame an earlier call returned) and
+        * delete it after the last action over the returned frame
+        * ([[graft.pipeline.Staging]] has helpers). An internal .persist()
+        * is deliberately NOT used: the operator returns a lazy frame, so it
+        * could never unpersist, and a leaked cache entry degrades every
+        * later job in the app (measured: a held 150k-doc cache made the
+        * next operator 7× slower).
         */
       stagingDir: Option[String] = None
   ): DataFrame = {
@@ -206,13 +210,8 @@ object Dedup {
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"), first("text").as("text"))
     val groups = stagingDir match {
       case Some(dir) =>
-        // unique subdirectory per call: overwriting a shared path would
-        // invalidate the lazy frame returned by an earlier call that staged
-        // to the same dir. The caller owns the directory's lifecycle (this
-        // is an explicit, documented side effect of the staged variant).
-        val target = s"$dir/collapse-${java.util.UUID.randomUUID()}"
-        collapsed.write.mode("errorifexists").parquet(target)
-        spark.read.parquet(target)
+        collapsed.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
       case None => collapsed
     }
     val members = documents.select(col("doc_id"), textKey.as("tk"))
