@@ -60,9 +60,23 @@ object AnnScaleBench {
         rows
       }
       val brute = run("brute")(Similarity.bruteForceKnn(emb, queries, k = 10))
-      val lsh = run("lsh")(Similarity.lshKnn(emb, queries, k = 10, nBits = 10, nTables = 4))
+      val lsh = run("lsh-oneshot")(Similarity.lshKnn(emb, queries, k = 10, nBits = 10, nTables = 4))
       val recall = lsh.intersect(brute).size.toDouble / brute.size
       println(f"[ann-scale] recall@10=$recall%.3f")
+
+      // build-once-query-many: index staged to parquet (the 100 TB shape —
+      // index build paid once, per-batch queries touch only the index)
+      val stage = graft.pipeline.Staging.tempDir("graft-ann-index")
+      try {
+        val t0 = System.nanoTime()
+        Similarity.lshIndex(emb, nBits = 10, nTables = 4).write.parquet(s"$stage/lsh")
+        println(f"[ann-scale] lsh-index-build wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+        val idx = spark.read.parquet(s"$stage/lsh")
+        val staged = run("lsh-query-staged")(
+          Similarity.lshKnnIndexed(idx, queries, k = 10, nBits = 10, nTables = 4))
+        val recallStaged = staged.intersect(brute).size.toDouble / brute.size
+        println(f"[ann-scale] staged recall@10=$recallStaged%.3f")
+      } finally graft.pipeline.Staging.deleteRecursively(stage)
     } finally spark.stop()
   }
 }

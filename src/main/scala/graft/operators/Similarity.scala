@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.functions.cosine_similarity
@@ -17,8 +17,40 @@ import graft.pipeline.Rng
   *    bucket; candidates re-ranked by exact cosine. At 100 TB the bucket
   *    join shuffles only (bucket, id, vec-of-candidates), never the full
   *    cross product.
+  *  - IVF (k-means coarse quantizer) ANN: the other standard scale path —
+  *    small deterministic Lloyd on a fixed sample defines centroids,
+  *    corpus vectors are assigned to their nearest cell, queries probe the
+  *    nProbe nearest cells.
+  *
+  * BUILD ONCE, QUERY MANY (the 100 TB contract): both ANN methods are
+  * split into an index-build phase (`lshIndex` / `ivfTrain`+`ivfIndex` —
+  * one pass over the corpus, output a plain DataFrame that callers persist
+  * to parquet) and a query phase (`lshKnnIndexed` / `ivfKnnIndexed`) that
+  * touches only the staged index. A 100 TB corpus gets indexed once and
+  * queried many times — rebuilding buckets per query batch (round 2's
+  * shape) re-scans the world every call; the reference makes the same
+  * split by compiling its DFA once and reusing it per input
+  * (/root/reference/src/dfa/dfa.rs:250-413, lexer.rs:88-122).
+  * `lshKnn` / `ivfKnn` remain as build+query conveniences for one-shot use.
+  * Determinism makes the staging sound: the planes/centroids are pure
+  * functions of (nBits, nTables, dim, seed) / the corpus sample, so a
+  * restarted query job probes a previously staged index correctly.
   */
 object Similarity {
+
+  private val KnnSchema = "query_id BIGINT, rank INT, neighbor_id BIGINT, score DOUBLE"
+
+  private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  /** Exact-cosine re-rank + top-k: shared tail of every method here. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
+  }
 
   /** Brute-force exact top-k neighbors for each query vector. Null
     * embeddings are dropped on BOTH sides — the same guard the approximate
@@ -32,10 +64,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine_similarity(col("q_emb"), col("emb")).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
+    topK(scored, k)
   }
 
   /** Deterministic random hyperplanes: nBits × dim from splitmix64. */
@@ -50,6 +79,10 @@ object Similarity {
         (u1 + u2 - 1.0).toFloat
       }
     }
+
+  /** The nTables independent plane sets shared by index build and probe. */
+  private[operators] def tablePlanes(nBits: Int, nTables: Int, dim: Int): Array[Array[Array[Float]]] =
+    Array.tabulate(nTables)(t => hyperplanes(nBits, dim, seed = 7L + t * 1000L))
 
   def signBucket(vec: Array[Float], planes: Array[Array[Float]]): Int = {
     var bucket = 0
@@ -66,107 +99,39 @@ object Similarity {
     bucket
   }
 
-  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: a small
-    * deterministic k-means (Lloyd on a fixed sample, driver-side) defines
-    * `nCells` centroids; corpus vectors are assigned to their nearest cell
-    * (one pass, broadcast centroids); queries probe the `nProbe` nearest
-    * cells and re-rank candidates by exact cosine. At 100 TB only
-    * corpus/nCells·nProbe of the data is scored per query and the cell
-    * assignment is a parquet-persistable index column.
-    */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-             nCells: Int = 16, nProbe: Int = 4, sampleSize: Int = 256,
-             iterations: Int = 5): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    // deterministic training sample: smallest vec_ids
-    val sample = corpus.filter(col("embedding").isNotNull)
-      .orderBy(col("vec_id")).limit(sampleSize)
-      .select("embedding").as[Array[Float]].collect()
-    require(sample.nonEmpty, "empty corpus")
-    val dim = sample.head.length
-    // init: evenly-strided sample vectors; refine with Lloyd iterations
-    var centroids = Array.tabulate(math.min(nCells, sample.length)) { c =>
-      sample((c.toLong * sample.length / math.min(nCells, sample.length)).toInt).clone()
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < math.min(a.length, b.length)) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
     }
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < math.min(a.length, b.length)) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
-    }
-    def nearest(v: Array[Float], cs: Array[Array[Float]]): Int = {
-      var best = 0; var bestS = Double.MinValue
-      var c = 0
-      while (c < cs.length) { val s = cos(v, cs(c)); if (s > bestS) { bestS = s; best = c }; c += 1 }
-      best
-    }
-    var it = 0
-    while (it < iterations) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Int](centroids.length)
-      sample.foreach { v =>
-        val c = nearest(v, centroids)
-        counts(c) += 1
-        var i = 0
-        while (i < dim) { sums(c)(i) += v(i); i += 1 }
-      }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
-      }.toArray
-      it += 1
-    }
-    val bc = spark.sparkContext.broadcast(centroids)
-
-    val assigned = corpus.filter(col("embedding").isNotNull)
-      .select(col("vec_id").as("id"), col("embedding").as("emb"))
-      .as[(Long, Array[Float])]
-      .map { case (id, emb) => (nearest(emb, bc.value), id, emb) }
-      .toDF("cell", "id", "emb")
-
-    val probes = queries.filter(col("embedding").isNotNull)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (qid, emb) =>
-        bc.value.indices.map(c => (c, cos(emb, bc.value(c))))
-          .sortBy(-_._2).take(nProbe)
-          .map { case (c, _) => (c, qid, emb) }
-      }.toDF("cell", "query_id", "q_emb")
-
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        cosine_similarity(col("q_emb"), col("emb")).as("score"))
-      .groupBy("query_id", "neighbor_id").agg(max("score").as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
+    if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
   }
 
-  /** LSH-bucketed approximate top-k: `nTables` independent hyperplane sets
-    * (standard multi-table LSH — recall is 1-(1-p^b)^L), each probed at the
-    * query's bucket plus all 1-bit-flip neighbor buckets (multi-probe);
-    * candidates re-ranked by exact cosine. Tune nBits to corpus size:
-    * candidates/table ≈ corpus / 2^nBits × (nBits+1) probes.
+  private def nearestCell(v: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0; var bestS = Double.MinValue
+    var c = 0
+    while (c < cs.length) { val s = cos(v, cs(c)); if (s > bestS) { bestS = s; best = c }; c += 1 }
+    best
+  }
+
+  // ---------------------------------------------------------------- LSH --
+
+  /** BUILD phase: the multi-table LSH index — one pass over the corpus,
+    * one row per (table, vector): (bucket, id, emb) with the table id
+    * packed into the bucket's high 32 bits. Plain DataFrame: persist it to
+    * parquet (bucketed/sorted by `bucket` if you like) and feed query
+    * batches to [[lshKnnIndexed]] without ever rescanning the corpus.
     */
-  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int = 5, nBits: Int = 8,
-             nTables: Int = 4): DataFrame = {
+  def lshIndex(corpus: DataFrame, nBits: Int = 8, nTables: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dimRow = corpus.filter(col("embedding").isNotNull)
-      .select(size(col("embedding"))).head(1)
-    if (dimRow.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "query_id BIGINT, rank INT, neighbor_id BIGINT, score DOUBLE"))
+    val nonNull = corpus.filter(col("embedding").isNotNull)
+    val dimRow = nonNull.select(size(col("embedding"))).head(1)
+    if (dimRow.isEmpty) return emptyDf(spark, "bucket BIGINT, id BIGINT, emb ARRAY<FLOAT>")
     val dim = dimRow(0).getInt(0)
-    val planes = spark.sparkContext.broadcast(
-      Array.tabulate(nTables)(t => hyperplanes(nBits, dim, seed = 7L + t * 1000L)))
-
-    val bucketed = corpus.filter(col("embedding").isNotNull)
+    val planes = spark.sparkContext.broadcast(tablePlanes(nBits, nTables, dim))
+    nonNull
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
@@ -175,9 +140,27 @@ object Similarity {
         }
       }
       .toDF("bucket", "id", "emb")
+  }
+
+  /** QUERY phase: approximate top-k against a prebuilt [[lshIndex]].
+    * (nBits, nTables) MUST match the index build — the probe re-derives the
+    * same deterministic planes. Each query probes its own bucket plus all
+    * 1-bit-flip neighbor buckets (multi-probe) in every table; candidates
+    * re-ranked by exact cosine. Only (bucket-matched candidates × queries)
+    * are scored — the corpus itself is never rescanned.
+    */
+  def lshKnnIndexed(index: DataFrame, queries: DataFrame, k: Int = 5, nBits: Int = 8,
+                    nTables: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qn = queries.filter(col("embedding").isNotNull)
+    val dimRow = qn.select(size(col("embedding"))).head(1)
+    if (dimRow.isEmpty) return emptyDf(spark, KnnSchema)
+    val dim = dimRow(0).getInt(0)
+    val planes = spark.sparkContext.broadcast(tablePlanes(nBits, nTables, dim))
 
     // per table: own bucket + all 1-bit-flip buckets (multi-probe LSH)
-    val probes = queries.filter(col("embedding").isNotNull)
+    val probes = qn
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, emb) =>
@@ -188,14 +171,121 @@ object Similarity {
         }
       }.toDF("bucket", "query_id", "q_emb")
 
-    val scored = bucketed.join(broadcast(probes), Seq("bucket"))
+    val scored = index.join(broadcast(probes), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine_similarity(col("q_emb"), col("emb")).as("score"))
       .groupBy("query_id", "neighbor_id").agg(max("score").as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("score"), 4).as("score"))
+    topK(scored, k)
   }
+
+  /** One-shot convenience: build the index and query it in one plan.
+    * Standard multi-table LSH — recall is 1-(1-p^b)^L. Tune nBits to corpus
+    * size: candidates/table ≈ corpus / 2^nBits × (nBits+1) probes.
+    */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int = 5, nBits: Int = 8,
+             nTables: Int = 4): DataFrame =
+    lshKnnIndexed(lshIndex(corpus, nBits, nTables), queries, k, nBits, nTables)
+
+  // ---------------------------------------------------------------- IVF --
+
+  /** TRAIN phase: deterministic k-means centroids — Lloyd iterations on a
+    * fixed driver-side sample (smallest vec_ids via TakeOrdered, never a
+    * full sort). The returned model is tiny (nCells × dim floats); persist
+    * it with [[centroidsToDf]] next to the [[ivfIndex]] parquet.
+    */
+  def ivfTrain(corpus: DataFrame, nCells: Int = 16, sampleSize: Int = 256,
+               iterations: Int = 5): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.filter(col("embedding").isNotNull)
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .select("embedding").as[Array[Float]].collect()
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    // init: evenly-strided sample vectors; refine with Lloyd iterations
+    var centroids = Array.tabulate(math.min(nCells, sample.length)) { c =>
+      sample((c.toLong * sample.length / math.min(nCells, sample.length)).toInt).clone()
+    }
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCell(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** BUILD phase: assign every corpus vector to its nearest centroid cell —
+    * one pass, broadcast centroids. Output (cell, id, emb) is the
+    * parquet-persistable inverted file; readers prune to the probed cells.
+    */
+  def ivfIndex(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) => (nearestCell(emb, bc.value), id, emb) }
+      .toDF("cell", "id", "emb")
+  }
+
+  /** QUERY phase: approximate top-k against a prebuilt [[ivfIndex]] + its
+    * centroid model. Queries probe their nProbe nearest cells; candidates
+    * re-ranked by exact cosine. Corpus touched only through the index.
+    */
+  def ivfKnnIndexed(index: DataFrame, centroids: Array[Array[Float]], queries: DataFrame,
+                    k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probes = queries.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, emb) =>
+        bc.value.indices.map(c => (c, cos(emb, bc.value(c))))
+          .sortBy(-_._2).take(nProbe)
+          .map { case (c, _) => (c, qid, emb) }
+      }.toDF("cell", "query_id", "q_emb")
+
+    val scored = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine_similarity(col("q_emb"), col("emb")).as("score"))
+      .groupBy("query_id", "neighbor_id").agg(max("score").as("score"))
+    topK(scored, k)
+  }
+
+  /** One-shot convenience: train + index + query in one call. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+             nCells: Int = 16, nProbe: Int = 4, sampleSize: Int = 256,
+             iterations: Int = 5): DataFrame = {
+    val centroids = ivfTrain(corpus, nCells, sampleSize, iterations)
+    ivfKnnIndexed(ivfIndex(corpus, centroids), centroids, queries, k, nProbe)
+  }
+
+  /** Centroid model ↔ DataFrame converters, so a staged IVF index is fully
+    * parquet-persistable: write `centroidsToDf` next to the index, read it
+    * back with `centroidsFromDf` before querying.
+    */
+  def centroidsToDf(spark: SparkSession, centroids: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+  }
+
+  def centroidsFromDf(df: DataFrame): Array[Array[Float]] =
+    df.select("cell", "centroid").collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray)
 }

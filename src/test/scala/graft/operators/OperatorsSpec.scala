@@ -70,6 +70,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty, "test corpus must contain near-duplicates")
   }
 
+  test("minhash staged collapse (the shipped d3 path) returns identical pairs to the lazy plan") {
+    val stage = graft.pipeline.Staging.tempDir("graft-d3-test")
+    try {
+      val viaLazy = Dedup.minhashPairs(docsDup, threshold = 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaStaged = Dedup.minhashPairs(docsDup, threshold = 0.8, stagingDir = Some(stage))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaStaged == viaLazy)
+      assert(viaStaged.nonEmpty)
+    } finally graft.pipeline.Staging.deleteRecursively(stage)
+  }
+
   test("simhash: identical texts→same sig; near texts→small hamming; pairs are verified") {
     assert(SimHash64.compute("the quick brown fox") == SimHash64.compute("the quick brown fox"))
     assert(SimHash64.compute("The Quick  brown fox") == SimHash64.compute("the quick brown fox"))
@@ -139,6 +151,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf1 == ivf2, "IVF knn must be deterministic")
     val recall = ivf1.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall@5 = $recall")
+  }
+
+  test("ANN staged indexes: parquet round-tripped LSH/IVF give identical results to one-shot") {
+    val stage = graft.pipeline.Staging.tempDir("graft-ann-test")
+    try {
+      val q = emb.filter(col("vec_id") < 10)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+      Similarity.lshIndex(emb, nBits = 4).write.parquet(s"$stage/lsh")
+      val lshStaged = rows(Similarity.lshKnnIndexed(
+        spark.read.parquet(s"$stage/lsh"), q, k = 5, nBits = 4))
+      assert(lshStaged == rows(Similarity.lshKnn(emb, q, k = 5, nBits = 4)))
+      assert(lshStaged.nonEmpty)
+
+      val cs = Similarity.ivfTrain(emb, nCells = 16)
+      Similarity.ivfIndex(emb, cs).write.parquet(s"$stage/ivf")
+      Similarity.centroidsToDf(spark, cs).write.parquet(s"$stage/centroids")
+      val csBack = Similarity.centroidsFromDf(spark.read.parquet(s"$stage/centroids"))
+      assert(csBack.map(_.toSeq).toSeq == cs.map(_.toSeq).toSeq)
+      val ivfStaged = rows(Similarity.ivfKnnIndexed(
+        spark.read.parquet(s"$stage/ivf"), csBack, q, k = 5, nProbe = 6))
+      assert(ivfStaged == rows(Similarity.ivfKnn(emb, q, k = 5, nCells = 16, nProbe = 6)))
+      assert(ivfStaged.nonEmpty)
+    } finally graft.pipeline.Staging.deleteRecursively(stage)
   }
 
   test("cosine_similarity expression: known values and null safety") {
