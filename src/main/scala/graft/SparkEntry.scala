@@ -291,8 +291,8 @@ object SparkEntry {
             .otherwise(col("text"))))
         .orderBy("doc_id")),
 
-    // ---- multimodal (real ImageIO decode for images; audio/video stubbed,
-    //      see operators/Multimodal) ----
+    // ---- multimodal (real ImageIO decode for images, real WAV decode for
+    //      audio; video stubbed — see operators/Multimodal) ----
     "m1_multimodal_features" -> ((s, dir) => {
       val n = if (dir.contains("0.1")) 5000L else if (dir.contains("0.01")) 2000L else 500L
       Multimodal.featureStats(Multimodal.extractFeatures(Multimodal.generateAssets(s, n)))
@@ -471,6 +471,12 @@ object SparkEntry {
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
     "s5_ivf_recall" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
+    // {M1_VALUES} = Verify's sequential no-Spark replay of the same
+    // deterministic asset generation + decode, substituted at dump time
+    "m1_multimodal_features" ->
+      """SELECT * FROM (VALUES {M1_VALUES})
+        |AS t(media_type, n_assets, avg_norm, avg_width, total_frames)
+        |ORDER BY media_type""".stripMargin,
     "m2_multimodal_verify" ->
       """SELECT * FROM (VALUES ('audio/wav', true, true, true), ('image/jpeg', true, true, true),
         |('image/png', true, true, true), ('video/mp4', true, true, true))

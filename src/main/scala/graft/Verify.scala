@@ -50,11 +50,50 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // m1 oracle: expected per-type stats re-derived WITHOUT Spark — a
+    // sequential driver loop over the same deterministic asset ids, so the
+    // DuckDB row pins Spark's distributed generate→decode→aggregate against
+    // a single-threaded replay ({M1_VALUES} substituted at dump time).
+    val m1Vals =
+      try m1ExpectedValues(sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] m1 replay failed (m1 oracle will miss): ${e.getMessage}")
+        "{M1_VALUES}" // leave placeholder → DuckDB reports an error for m1 only
+      }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{STAGED}", stagedDir))}" }
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("{STAGED}", stagedDir).replace("{M1_VALUES}", m1Vals))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** Sequential (no-Spark) replay of m1's generate→decode→featureStats:
+    * VALUES rows `('type', n_assets, avg_norm, avg_width, total_frames)`
+    * with the same rounding the query applies. Must mirror
+    * SparkEntry's m1 sizing and Multimodal's default nDim/framesPerVideo.
+    */
+  def m1ExpectedValues(sfDir: String): String = {
+    val n = if (sfDir.contains("0.1")) 5000L else if (sfDir.contains("0.01")) 2000L else 500L
+    val acc = scala.collection.mutable.Map[String, (Long, Double, Double, Long)]()
+    var id = 0L
+    while (id < n) {
+      val (_, mt, declW, declH, bytes) = graft.operators.Multimodal.generateOne(id)
+      val (w, _, frames, emb) =
+        graft.operators.Multimodal.decodeOne(mt, declW, declH, bytes, nDim = 32, framesPerVideo = 4)
+      var ss = 0.0
+      var i = 0
+      while (i < emb.length) { ss += emb(i).toDouble * emb(i).toDouble; i += 1 }
+      val (c, sn, sw, sf) = acc.getOrElse(mt, (0L, 0.0, 0.0, 0L))
+      acc(mt) = (c + 1, sn + math.sqrt(ss), sw + w, sf + frames)
+      id += 1
+    }
+    def r(v: Double, scale: Int): String =
+      java.math.BigDecimal.valueOf(v).setScale(scale, java.math.RoundingMode.HALF_UP).toPlainString
+    acc.toSeq.sortBy(_._1).map { case (mt, (c, sn, sw, sf)) =>
+      s"('$mt', CAST($c AS BIGINT), CAST(${r(sn / c, 4)} AS DOUBLE), " +
+        s"CAST(${r(sw / c, 2)} AS DOUBLE), CAST($sf AS BIGINT))"
+    }.mkString(", ")
   }
 
   /** Materialize the typed (mapPartitions) parse of the same synthetic

@@ -14,18 +14,22 @@ import graft.pipeline.Rng
   * PNG/JPEG bytes (deterministic pixels via splitmix, `javax.imageio` —
   * ships with the JDK), and `extractFeatures` decodes them back with
   * ImageIO, so decoded width/height and pixel-derived features exercise a
-  * genuine binary→decode→feature pipeline. Audio/video codecs are NOT in
-  * this container, so those two types keep the clearly-marked deterministic
-  * `FakeCodec` — the Spark-side plumbing (binary schema, mapPartitions
-  * batching, frame sampling, determinism) is identical for all types, and
-  * swapping FakeCodec for a real decoder changes no plan shape.
+  * genuine binary→decode→feature pipeline. The AUDIO path is likewise real:
+  * 16-bit mono PCM WAV encoded and decoded with `javax.sound.sampled`
+  * (also pure JDK) — declared (sample rate, frame count) is verified
+  * against the decoded stream and features derive from decoded amplitudes.
+  * Only VIDEO keeps the clearly-marked deterministic `FakeCodec` (no video
+  * codec ships in this container) — the Spark-side plumbing (binary
+  * schema, mapPartitions batching, frame sampling, determinism) is
+  * identical for all types, and swapping FakeCodec for a real decoder
+  * changes no plan shape.
   */
 object Multimodal {
 
   val MediaTypes: Vector[String] = Vector("image/png", "image/jpeg", "audio/wav", "video/mp4")
 
-  /** STUB — deterministic fake codec standing in for the real AUDIO/VIDEO
-    * decoders (images use ImageIO below).
+  /** STUB — deterministic fake codec standing in for the real VIDEO
+    * decoder (images use ImageIO, audio uses javax.sound below).
     */
   object FakeCodec {
     /** "Extract" an nDim feature vector — pure hash of content windows. */
@@ -102,34 +106,108 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec: deterministic 16-bit mono PCM samples → WAV bytes
+    * and back, via `javax.sound.sampled` (pure JDK — no external codec
+    * needed for WAV). PCM round trips losslessly, so decoded sample rate /
+    * frame count / amplitudes are ground truth for verification.
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) { // little-endian 16-bit
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val baos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
+    /** Returns (sampleRate, decoded 16-bit samples). */
+    def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val data = ais.readAllBytes()
+        val samples = new Array[Short](data.length / 2)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff)).toShort
+          i += 1
+        }
+        (fmt.getSampleRate.toInt, samples)
+      } finally ais.close()
+    }
+
+    /** Amplitude features: mean |sample|/32768 over nDim interleaved bins —
+      * the audio analogue of ImageCodec's luminance bins.
+      */
+    def features(samples: Array[Short], nDim: Int): Array[Float] = {
+      val sums = new Array[Double](nDim)
+      val counts = new Array[Int](nDim)
+      var i = 0
+      while (i < samples.length) {
+        val d = i % nDim
+        sums(d) += math.abs(samples(i).toInt); counts(d) += 1
+        i += 1
+      }
+      Array.tabulate(nDim)(d => if (counts(d) == 0) 0f else (sums(d) / counts(d) / 32768.0).toFloat)
+    }
+  }
+
+  /** The per-asset generation kernel — pure function of (id, seed), shared
+    * by the distributed `generateAssets` and Verify's sequential driver
+    * replay (the m1 oracle re-derives the expected per-type stats without
+    * Spark). Returns (id, media_type, width, height, content).
+    *
+    * Declared "dims" per type: images (pixel width, pixel height); audio
+    * (sample rate Hz, frame count) — both verified against the decoded
+    * bytes; video (synthetic width, height) metadata only (FakeCodec).
+    */
+  def generateOne(id: Long, seed: Long = 42L): (Long, String, Int, Int, Array[Byte]) = {
+    val r = Rng.mix2(seed, id)
+    val mt = MediaTypes(Rng.bounded(r, MediaTypes.size))
+    if (mt.startsWith("image")) {
+      val w = 8 + Rng.bounded(Rng.mix(r), 24)
+      val h = 8 + Rng.bounded(Rng.mix2(r, 17L), 24)
+      val bytes = ImageCodec.encode(if (mt.endsWith("png")) "png" else "jpg", w, h, r)
+      (id, mt, w, h, bytes)
+    } else if (mt.startsWith("audio")) {
+      val rates = Array(8000, 11025, 16000)
+      val rate = rates(Rng.bounded(Rng.mix2(r, 23L), rates.length))
+      val n = 1024 + Rng.bounded(Rng.mix(r), 2048)
+      val samples = new Array[Short](n)
+      var hsh = r
+      var i = 0
+      while (i < n) { hsh = Rng.mix(hsh); samples(i) = (hsh & 0xffff).toShort; i += 1 }
+      (id, mt, rate, n, AudioCodec.encode(rate, samples))
+    } else {
+      val len = 4096 + Rng.bounded(Rng.mix(r), 8192)
+      val bytes = new Array[Byte](len)
+      var hsh = r
+      var i = 0
+      while (i < len) { hsh = Rng.mix(hsh); bytes(i) = (hsh & 0xff).toByte; i += 1 }
+      val w = 64 + Rng.bounded(hsh, 960)
+      val h = 64 + Rng.bounded(Rng.mix(hsh), 960)
+      (id, mt, w, h, bytes)
+    }
+  }
+
   /** Deterministic synthetic asset table: (asset_id, media_type, width,
-    * height, content BINARY). Images are REAL encoded PNG/JPEG whose
-    * declared (width, height) is ground truth for the decode check;
-    * audio/video are opaque deterministic blobs whose "dims" are synthetic
-    * metadata.
+    * height, content BINARY). Images are REAL encoded PNG/JPEG and audio
+    * REAL encoded WAV whose declared dims are ground truth for the decode
+    * check; video is an opaque deterministic blob with synthetic metadata.
     */
   def generateAssets(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     import spark.implicits._
-    spark.range(n).map { id =>
-      val r = Rng.mix2(seed, id)
-      val mt = MediaTypes(Rng.bounded(r, MediaTypes.size))
-      if (mt.startsWith("image")) {
-        val w = 8 + Rng.bounded(Rng.mix(r), 24)
-        val h = 8 + Rng.bounded(Rng.mix2(r, 17L), 24)
-        val bytes = ImageCodec.encode(if (mt.endsWith("png")) "png" else "jpg", w, h, r)
-        (id, mt, w, h, bytes)
-      } else {
-        val len = if (mt.startsWith("audio")) 2048 + Rng.bounded(Rng.mix(r), 4096)
-                  else 4096 + Rng.bounded(Rng.mix(r), 8192)
-        val bytes = new Array[Byte](len)
-        var hsh = r
-        var i = 0
-        while (i < len) { hsh = Rng.mix(hsh); bytes(i) = (hsh & 0xff).toByte; i += 1 }
-        val w = 64 + Rng.bounded(hsh, 960)
-        val h = 64 + Rng.bounded(Rng.mix(hsh), 960)
-        (id, mt, w, h, bytes)
-      }
-    }.toDF("asset_id", "media_type", "width", "height", "content")
+    spark.range(n).map(id => generateOne(id, seed))
+      .toDF("asset_id", "media_type", "width", "height", "content")
   }
 
   /** Decode + feature-extract over binary columns in partition batches.
@@ -143,15 +221,18 @@ object Multimodal {
     * would let regressions pass verification).
     * Returns (decodedW, decodedH, nFrames, embedding).
     */
-  private def decodeOne(mt: String, declW: Int, declH: Int, bytes: Array[Byte],
-                        nDim: Int, framesPerVideo: Int): (Int, Int, Int, Array[Float]) = {
+  private[graft] def decodeOne(mt: String, declW: Int, declH: Int, bytes: Array[Byte],
+                               nDim: Int, framesPerVideo: Int): (Int, Int, Int, Array[Float]) = {
     if (mt.startsWith("image")) {
       val img = ImageCodec.decode(bytes)
       if (img == null) (-1, -1, 1, new Array[Float](nDim))
       else (img.getWidth, img.getHeight, 1, ImageCodec.features(img, nDim))
+    } else if (mt.startsWith("audio")) {
+      // real WAV decode: dims = (decoded sample rate, decoded frame count)
+      val (rate, samples) = AudioCodec.decode(bytes)
+      (rate, samples.length, 1, AudioCodec.features(samples, nDim))
     } else {
-      val isVideo = mt.startsWith("video")
-      val frames = if (isVideo) FakeCodec.sampleFrames(bytes, framesPerVideo) else Seq(bytes)
+      val frames = FakeCodec.sampleFrames(bytes, framesPerVideo)
       // mean-pool per-frame features
       val acc = new Array[Float](nDim)
       frames.foreach { fb =>
@@ -159,7 +240,7 @@ object Multimodal {
         var d = 0
         while (d < nDim) { acc(d) += f(d) / frames.size; d += 1 }
       }
-      // stub decode reports the declared dims (no real codec here)
+      // stub decode reports the declared dims (no real video codec here)
       (declW, declH, frames.size, acc)
     }
   }

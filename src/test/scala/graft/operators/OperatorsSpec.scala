@@ -396,6 +396,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
   }
 
+  test("audio decode round trip: real WAV bytes, lossless PCM, decoded rate/frames equal declared") {
+    // kernel-level round trip
+    val samples = Array.tabulate(512)(i => ((i * 2654435761L) & 0xffff).toShort)
+    val wav = Multimodal.AudioCodec.encode(11025, samples)
+    assert(wav.take(4).map(_.toChar).mkString == "RIFF") // real WAV container
+    val (rate, back) = Multimodal.AudioCodec.decode(wav)
+    assert(rate == 11025 && back.toSeq == samples.toSeq)
+
+    // generated audio assets decode to their declared (sample rate, frames)
+    val assets = Multimodal.generateAssets(spark, 120)
+      .filter(col("media_type") === "audio/wav")
+      .select("width", "height", "content").collect()
+    assert(assets.nonEmpty)
+    assets.foreach { r =>
+      val (rt, ss) = Multimodal.AudioCodec.decode(r.getAs[Array[Byte]](2))
+      assert(rt == r.getInt(0) && ss.length == r.getInt(1))
+    }
+  }
+
   test("multimodal: schema, batch plumbing, frame sampling, determinism") {
     val assets = Multimodal.generateAssets(spark, 200)
     assert(assets.schema("content").dataType.typeName == "binary")
