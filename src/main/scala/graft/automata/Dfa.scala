@@ -42,6 +42,21 @@ final class DenseDfa private[automata] (
     if (p >= 0) Some(p) else None
   }
 
+  /** Whether ANY state has a transition on `c` — e.g. `canTransitionOn('\n')`
+    * tells whether a pattern could match across line boundaries (the guard
+    * the within-file log splitter needs: split points are line starts, which
+    * is only sound when no timestamp can swallow a newline).
+    */
+  def canTransitionOn(c: Char): Boolean = {
+    if (c >= 128) return false
+    var s = 0
+    while (s < numStates) {
+      if (table(s * 128 + c) >= 0) return true
+      s += 1
+    }
+    false
+  }
+
   /** Longest match starting at `from`: packs (endExclusive, patternId) as
     * (end.toLong << 32) | patternId, or -1L when nothing matches. Implements
     * the last-accept memo the reference lexer uses for timestamps

@@ -12,14 +12,15 @@ import graft.pipeline.{Category, Parse}
   * tests/lexer_test.rs:9-65): read `.log` files, tokenize, and assemble
   * multi-line events (split-before-each-Timestamp) into a typed Dataset.
   *
-  * Scale design: the unit of parallelism is the FILE (wholetext read +
-  * per-file tokenize in `flatMap`), matching how log pipelines shard in
-  * practice — a crawl/cluster emits many files, and event boundaries never
-  * cross files, so no fix-up shuffle is needed. A single pathological
-  * multi-GB file would pin one task; splitting WITHIN a file would need a
-  * boundary-repair pass (CLP-style chunk + merge at the first Timestamp
-  * after each split), noted as the extension point. Tokenization is
-  * lossless (`concat(event texts) == file bytes`, asserted in tests).
+  * Scale design: [[events]]'s unit of parallelism is the FILE (wholetext
+  * read + per-file tokenize in `flatMap`), matching how log pipelines shard
+  * in practice — a crawl/cluster emits many files, and event boundaries
+  * never cross files, so no fix-up shuffle is needed. For pathological
+  * multi-GB files that would pin one task, [[eventsSplit]] adds WITHIN-FILE
+  * parallelism: CLP-style chunking with boundary repair at the first
+  * event-start line after each split, producing byte-identical events.
+  * Tokenization is lossless (`concat(event texts) == file bytes`, asserted
+  * in tests).
   */
 object LogFiles {
 
@@ -47,6 +48,195 @@ object LogFiles {
       .select(input_file_name().as("file"), col("value"))
       .as[(String, String)]
       .flatMap { case (file, content) => eventsOf(file, content, bank.value) }
+  }
+
+  // ------------------------------------------------------------------ //
+  // Within-file split: the CLP-style chunk + boundary-repair path for    //
+  // files too large for one task (the extension point noted above).      //
+  // ------------------------------------------------------------------ //
+
+  /** Phase-1 metadata for one byte chunk `[start, end)` of a file: where
+    * the first event starts at/after `start`, how many events start inside
+    * the chunk, and newline counts (for global line numbering).
+    * `firstEventStart == -1` means no event starts inside this chunk (a
+    * single event spans it) — its bytes belong to the previous owner.
+    */
+  private[sources] final case class ChunkMeta(
+      file: String, chunkIdx: Int, start: Long, end: Long,
+      firstEventStart: Long, nEventStarts: Long,
+      nNewlines: Long, nNewlinesBeforeFirstEvent: Long)
+
+  /** A repaired parse region: `[start, end)` begins at an event-start line
+    * and ends at the next chunk's first event start, so events never cross
+    * regions. Offsets restore global event indices and line numbers.
+    */
+  private[sources] final case class Region(
+      file: String, start: Long, end: Long,
+      eventIdxOffset: Long, lineOffset: Long)
+
+  /** Parse files matching `pathGlob` into events with WITHIN-FILE
+    * parallelism: files are cut into `chunkBytes` ranges, a cheap
+    * distributed index pass finds event-start lines (a line start where the
+    * timestamp DFA accepts — the same test `tokenize` applies) and newline
+    * counts per chunk, the driver prefix-sums chunk metadata into repaired
+    * regions (each starting at an event boundary), and a second distributed
+    * pass tokenizes each region independently. Event output is IDENTICAL to
+    * [[events]] (asserted in tests) — same events, same global event_idx
+    * and line numbers — but a multi-GB file now spreads over
+    * size/chunkBytes tasks instead of pinning one.
+    *
+    * Scale notes: the index pass is an IO-bound byte scan (DFA probes only
+    * at line starts); at very large scale, persist its output like CLP
+    * persists its archive index instead of re-deriving per job. Driver
+    * memory holds one small ChunkMeta per chunk — size chunkBytes so
+    * files/chunkBytes stays ~10⁵–10⁶ (the same regime as Spark's own
+    * driver-side file-split planning). Soundness precondition (checked):
+    * no timestamp pattern can match '\n' — split points are line starts,
+    * so a newline-swallowing timestamp could hide an event boundary from
+    * the index pass.
+    */
+  def eventsSplit(spark: SparkSession, pathGlob: String, bank: Broadcast[PatternBank],
+                  chunkBytes: Long = 16L << 20): Dataset[LogEvent] = {
+    require(!bank.value.tsDfa.canTransitionOn('\n'),
+      "within-file split requires newline-free timestamp patterns; use events() instead")
+    require(chunkBytes >= 4096, s"chunkBytes too small: $chunkBytes")
+    import spark.implicits._
+
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val glob = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = glob.getFileSystem(hconf)
+    val files = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+      .filter(s => s.isFile && s.getLen > 0)
+      .map(s => (s.getPath.toString, s.getLen))
+      .sortBy(_._1)
+
+    val chunks = files.flatMap { case (path, len) =>
+      val n = ((len + chunkBytes - 1) / chunkBytes).toInt
+      (0 until n).map(i => (path, i, i * chunkBytes, math.min(len, (i + 1) * chunkBytes), len))
+    }.toSeq
+
+    // phase 1 (distributed): chunk index — event starts + newline counts
+    val metas = spark.createDataset(chunks)
+      .map { case (path, idx, s, e, len) => scanChunk(path, idx, s, e, len, bank.value) }
+      .collect()
+
+    // driver: prefix-sum chunk metadata into repaired regions
+    val regions = metas.groupBy(_.file).toSeq.flatMap { case (file, ms) =>
+      val sorted = ms.sortBy(_.chunkIdx)
+      val fileLen = sorted.last.end
+      var eventsBefore = 0L
+      var newlinesBefore = 0L
+      val out = Vector.newBuilder[Region]
+      var i = 0
+      while (i < sorted.length) {
+        val m = sorted(i)
+        if (m.firstEventStart >= 0) {
+          // owned region ends at the next chunk that owns an event start
+          var j = i + 1
+          while (j < sorted.length && sorted(j).firstEventStart < 0) j += 1
+          val end = if (j < sorted.length) sorted(j).firstEventStart else fileLen
+          out += Region(file, m.firstEventStart, end, eventsBefore,
+            newlinesBefore + m.nNewlinesBeforeFirstEvent)
+        }
+        eventsBefore += m.nEventStarts
+        newlinesBefore += m.nNewlines
+        i += 1
+      }
+      out.result()
+    }
+
+    // phase 2 (distributed): tokenize each region independently; restore
+    // global event indices and line numbers from the prefix sums
+    spark.createDataset(regions).flatMap { r =>
+      val content = new String(readRange(r.file, r.start, r.end),
+        java.nio.charset.StandardCharsets.UTF_8)
+      eventsOf(r.file, content, bank.value).map { ev =>
+        ev.copy(
+          event_idx = (ev.event_idx + r.eventIdxOffset).toInt,
+          line_start = (ev.line_start + r.lineOffset).toInt,
+          line_end = (ev.line_end + r.lineOffset).toInt)
+      }
+    }
+  }
+
+  /** Read bytes `[start, end)` of a Hadoop-FS path. */
+  private def readRange(file: String, start: Long, end: Long): Array[Byte] = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(path)
+    try {
+      val buf = new Array[Byte]((end - start).toInt)
+      in.seek(start)
+      in.readFully(buf)
+      buf
+    } finally in.close()
+  }
+
+  /** Phase-1 scan of one chunk: walk `[start, end)` finding line starts,
+    * probe the timestamp DFA at each (reading past `end` only as far as a
+    * live probe needs), and count newlines. Probes replicate exactly the
+    * test `tokenize` applies at a line start: does the ts DFA reach ANY
+    * accepting state before dying (longest-match selection doesn't matter
+    * for boundary detection).
+    */
+  private def scanChunk(file: String, chunkIdx: Int, start: Long, end: Long,
+                        fileLen: Long, bank: PatternBank): ChunkMeta = {
+    var lookahead = 8192L
+    var buf = readRange(file, math.max(0L, start - 1), math.min(fileLen, end + lookahead))
+    val bufStart = math.max(0L, start - 1)
+
+    // probe result: 1 = event start, 0 = no, -1 = ran off the buffer alive
+    def probe(fromOff: Long): Int = {
+      val dfa = bank.tsDfa
+      var st = 0
+      var i = (fromOff - bufStart).toInt
+      while (i < buf.length) {
+        val c = buf(i) & 0xff
+        if (c >= 128) return 0
+        st = dfa.next(st, c)
+        if (st < 0) return 0
+        if (dfa.acceptedPattern(st) >= 0) return 1
+        i += 1
+      }
+      if (bufStart + buf.length >= fileLen) 0 else -1
+    }
+
+    def probeExtending(fromOff: Long): Boolean = {
+      var r = probe(fromOff)
+      while (r == -1) {
+        lookahead *= 4
+        buf = readRange(file, bufStart, math.min(fileLen, end + lookahead))
+        r = probe(fromOff)
+      }
+      r == 1
+    }
+
+    var firstEventStart = -1L
+    var nEventStarts = 0L
+    var nNewlines = 0L
+    var nNewlinesBeforeFirst = 0L
+
+    def visitLineStart(off: Long): Unit = {
+      val isEvent = off == 0L || probeExtending(off)
+      if (isEvent) {
+        nEventStarts += 1
+        if (firstEventStart < 0) { firstEventStart = off; nNewlinesBeforeFirst = nNewlines }
+      }
+    }
+
+    // `start` is a line start iff it's the file start or follows a '\n'
+    if (start == 0L || buf(0) == '\n') visitLineStart(start)
+    var off = start
+    while (off < end) {
+      if (buf((off - bufStart).toInt) == '\n') {
+        nNewlines += 1
+        if (off + 1 < end) visitLineStart(off + 1)
+      }
+      off += 1
+    }
+    if (firstEventStart < 0) nNewlinesBeforeFirst = nNewlines
+    ChunkMeta(file, chunkIdx, start, end, firstEventStart, nEventStarts,
+      nNewlines, nNewlinesBeforeFirst)
   }
 
   /** Pure per-file parse — shared with tests. Extraction semantics come

@@ -58,6 +58,39 @@ class LogFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.first_ts != null && first.ts_extracted != null)
   }
 
+  test("within-file split: chunked parse equals the single-task parse on a multi-MB log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-split")
+    val large = resource("hive-24h_large.log")
+    val sb = new java.lang.StringBuilder(4 << 20)
+    // leading timestamp-less event + multi-line filler events between copies
+    sb.append("no timestamp preamble line\ncontinued preamble\n")
+    (0 until 300).foreach { i =>
+      sb.append(large)
+      sb.append(f"2015-03-23 09:00:00,$i%03d INFO [main] filler event $i%d\n")
+      sb.append("with a continuation line\nand another one\n")
+    }
+    val content = sb.toString
+    java.nio.file.Files.writeString(dir.resolve("big.log"), content)
+    assert(content.length > (2 << 20)) // genuinely multi-MB → many chunks
+
+    val bank = spark.sparkContext.broadcast(PatternBank.example)
+    val whole = LogFiles.events(spark, s"$dir/big.log", bank).collect()
+    val split = LogFiles.eventsSplit(spark, s"$dir/big.log", bank, chunkBytes = 64 * 1024).collect()
+
+    def key(e: LogFiles.LogEvent) =
+      (e.event_idx, e.line_start, e.line_end, e.has_timestamp, e.first_ts, e.ts_extracted,
+        e.n_tokens, e.n_errors, e.error_signature, e.category, e.text)
+    assert(split.length == whole.length)
+    assert(split.map(key).sortBy(_._1).toSeq == whole.map(key).sortBy(_._1).toSeq)
+    assert(split.length > 300) // real event volume, spread over ~50 chunks
+
+    // single-chunk degenerate case (file smaller than chunkBytes): identical too
+    java.nio.file.Files.writeString(dir.resolve("small.log"), resource("hive-24h.log"))
+    val wholeSmall = LogFiles.events(spark, s"$dir/small.log", bank).collect().map(key).sortBy(_._1)
+    val splitSmall = LogFiles.eventsSplit(spark, s"$dir/small.log", bank).collect().map(key).sortBy(_._1)
+    assert(splitSmall.toSeq == wholeSmall.toSeq)
+  }
+
   test("ERROR events are categorized and templated") {
     val bank = PatternBank.example
     val content =
