@@ -43,7 +43,7 @@ object Bench {
   val HeadlineQueries: Seq[String] = Seq(
     "q1_agg", "q3_join_agg", "q5_window", "q10_events_hourly", "q11_sessionize",
     "d1_exact_dedup", "d3_minhash_pairs", "d4_simhash_pairs", "d6_embedding_neardup",
-    "s1_knn_brute", "s2_knn_lsh", "t1_quality", "t3_langid",
+    "s1_knn_brute", "s2_knn_lsh", "t1_quality", "t3_langid", "t5_char_entropy",
     "p1_route_counts", "p2_token_stats", "p4_conv_stats", "p5_error_signatures")
 
   def main(args: Array[String]): Unit = {

@@ -155,6 +155,19 @@ object SparkEntry {
         .intersect(tbl(s, dir, "part").filter(col("p_size") > 40).select(col("p_partkey").as("k")))
         .agg(count(lit(1)).as("n"))
     }),
+    "q16_except" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").select(col("l_partkey").as("k"))
+        .except(tbl(s, dir, "part").filter(col("p_size") > 40).select(col("p_partkey").as("k")))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q17_union_distinct" -> ((s, dir) => {
+      tbl(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+        .union(tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k")))
+        .distinct()
+        .agg(count(lit(1)).as("n"))
+    }),
     "q10_events_hourly" -> ((s, dir) => {
       tbl(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
@@ -365,6 +378,13 @@ object SparkEntry {
     "q9_setop" ->
       """SELECT count(*) AS n FROM
         |((SELECT l_partkey FROM lineitem) INTERSECT (SELECT p_partkey FROM part WHERE p_size > 40))""".stripMargin,
+    "q16_except" ->
+      """SELECT count(*) AS n FROM
+        |((SELECT l_partkey FROM lineitem) EXCEPT (SELECT p_partkey FROM part WHERE p_size > 40))""".stripMargin,
+    "q17_union_distinct" ->
+      """SELECT count(*) AS n FROM
+        |((SELECT o_custkey FROM orders WHERE o_orderpriority='1-URGENT')
+        | UNION (SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'))""".stripMargin,
     "q10_events_hourly" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
         |CAST(round(sum(value),4) AS DOUBLE) AS sum_value

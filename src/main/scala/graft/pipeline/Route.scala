@@ -25,11 +25,28 @@ import org.apache.spark.util.LongAccumulator
   */
 object Route {
 
-  /** Number of salt buckets a single hot conversation may spread over. */
+  /** Default number of salt buckets a single hot conversation may spread
+    * over. Overridable per session via `spark.graft.route.saltBuckets`: the
+    * right width scales with how hot the head key is relative to a task's
+    * share — 8 suits local[32]-scale runs, a 1000-executor cluster ingesting
+    * one 10M-turn conversation wants a much wider spread. A conf (not a
+    * hardcode) because hot-key mass is a property of the DATA, known to the
+    * operator, not derivable from the plan.
+    */
   val SaltBuckets = 8
 
+  /** Session-conf'd salt width (`spark.graft.route.saltBuckets`, default
+    * [[SaltBuckets]]).
+    */
+  def saltBuckets(df: DataFrame): Int = {
+    val v = df.sparkSession.conf.get("spark.graft.route.saltBuckets", SaltBuckets.toString).toInt
+    require(v >= 1, s"spark.graft.route.saltBuckets must be >= 1, got $v")
+    v
+  }
+
   def salted(df: DataFrame, partitions: Int): DataFrame =
-    df.repartition(partitions, col("conv_id"), pmod(hash(col("turn_idx")), lit(SaltBuckets)))
+    df.repartition(partitions, col("conv_id"),
+      pmod(hash(col("turn_idx")), lit(saltBuckets(df))))
 
   def sinkPath(outDir: String, category: String): String = s"$outDir/category=$category"
 

@@ -48,6 +48,24 @@ class SkewAndLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("salt width honors spark.graft.route.saltBuckets: a pathological conversation spreads wider") {
+    import spark.implicits._
+    // one conversation IS the dataset — the cluster-ingest pathology
+    val hot = (0 until 8000).map(i => Turn("conv-giant", i, "assistant", "x", null, new Timestamp(i.toLong)))
+    val df = hot.toDF()
+    def spread(width: Int): Long = {
+      spark.conf.set("spark.graft.route.saltBuckets", width.toString)
+      try Route.salted(df, 64)
+        .select(spark_partition_id().as("pid")).agg(countDistinct("pid")).head().getLong(0)
+      finally spark.conf.unset("spark.graft.route.saltBuckets")
+    }
+    val narrow = spread(4)
+    val wide = spread(32)
+    assert(narrow <= 4, s"narrow width leaked: $narrow tasks")
+    assert(wide > narrow, s"wider salt did not spread further: narrow=$narrow wide=$wide")
+    assert(wide <= 32)
+  }
+
   test("salting is deterministic: same placement keys across runs") {
     import spark.implicits._
     val turns = (0 until 200).map(i => Turn(s"c${i % 7}", i, "user", "t", null, new Timestamp(i.toLong))).toDF()
