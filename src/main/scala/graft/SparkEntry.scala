@@ -240,9 +240,14 @@ object SparkEntry {
     "d5_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithDups(s, dir), n = 3, threshold = 0.5).orderBy("id_a", "id_b")),
     // embedding-cosine near-dup: d6 is the exact blocked baseline (full
-    // DuckDB oracle), d7 gates the LSH scale path's recall against it
+    // DuckDB oracle), d7 gates the LSH scale path's recall against it.
+    // d6 is O(n²) BY DESIGN (it is the labeled oracle twin, not a scale
+    // path — d7/embeddingNearDupPairs is); capped at validation scale so a
+    // future larger sf dir can't turn the oracle into the bottleneck.
+    // No-op at every current sf (max 2000 vectors); mirrored in the oracle.
     "d6_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDupBrute(tbl(s, dir, "embeddings"), threshold = 0.3)
+      Dedup.embeddingNearDupBrute(
+        tbl(s, dir, "embeddings").filter(col("vec_id") < 2000), threshold = 0.3)
         .orderBy("id_a", "id_b")),
     "d7_embedding_lsh_recall" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -477,7 +482,7 @@ object SparkEntry {
         |    (h, c) -> (h*31 + c) % 1000000007))) AS BIGINT) AS fingerprint
         |FROM wins ORDER BY doc_id""".stripMargin,
     "d6_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |CAST(round(list_cosine_similarity(a.v, b.v), 4) AS DOUBLE) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
