@@ -39,13 +39,15 @@ object GraftExtensions {
   val SchemaPathConf = "spark.graft.schema.path"
 
   private lazy val exampleBank: PatternBank = PatternBank.example
-  // keyed by (path, lastModified): editing the schema file in a long-lived
-  // session recompiles instead of silently parsing with the stale bank
+  // one entry per path holding (mtime, bank): editing the schema file in a
+  // long-lived session recompiles instead of silently parsing with the
+  // stale bank, and the superseded bank is dropped (a (path, mtime) key
+  // would leak every previous compilation for the process lifetime)
   private val bankCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), PatternBank]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, PatternBank)]()
 
   /** Bank for the current session: the conf-named YAML (compiled once per
-    * (path, mtime), process-wide) or the example schema. Resolved at
+    * path+mtime, process-wide) or the example schema. Resolved at
     * expression-build (analysis) time, so different sessions of one JVM can
     * parse with different schemas.
     */
@@ -55,8 +57,9 @@ object GraftExtensions {
       .flatMap(_.conf.getOption(SchemaPathConf))
       .map { p =>
         val mtime = new java.io.File(p).lastModified()
-        bankCache.computeIfAbsent((p, mtime),
-          key => PatternBank.compile(graft.schema.SchemaConfig.fromFile(key._1)))
+        bankCache.compute(p, (path, cur) =>
+          if (cur != null && cur._1 == mtime) cur
+          else (mtime, PatternBank.compile(graft.schema.SchemaConfig.fromFile(path))))._2
       }
       .getOrElse(exampleBank)
 

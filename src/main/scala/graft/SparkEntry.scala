@@ -229,8 +229,10 @@ object SparkEntry {
       Dedup.normalized(docsWithDups(s, dir)).orderBy("keep_id")),
     // staged collapse: the exact-collapse feeds four plan branches; lazy it
     // is recomputed per branch (measured 7+ corpus scans, 1.6× slower at
-    // 301k docs). Unique temp dir per call, removed at JVM exit — the
-    // driver consumes the frame within this process.
+    // 301k docs). Unique temp dir per call, removed at JVM exit — correct
+    // for the driver contract (each query built ~once per process); a
+    // caller re-building this query in a loop should manage one staging
+    // dir per consumed frame via Staging.deleteRecursively instead.
     "d3_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docsWithDups(s, dir), threshold = 0.8,
         stagingDir = Some(graft.pipeline.Staging.tempDirDeletedOnExit("graft-d3-stage")))

@@ -129,11 +129,18 @@ object Multimodal {
       baos.toByteArray
     }
 
-    /** Returns (sampleRate, decoded 16-bit samples). */
+    /** Returns (sampleRate, decoded 16-bit samples). Rejects (throws on)
+      * anything that is not 16-bit signed little-endian mono PCM rather
+      * than silently mis-reinterpreting the frames — callers that must not
+      * fail per-asset catch and degrade (see [[Multimodal.decodeOne]]).
+      */
     def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val fmt = ais.getFormat
+        require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"unsupported audio format: $fmt (need 16-bit signed LE mono PCM)")
         val data = ais.readAllBytes()
         val samples = new Array[Short](data.length / 2)
         var i = 0
@@ -228,9 +235,15 @@ object Multimodal {
       if (img == null) (-1, -1, 1, new Array[Float](nDim))
       else (img.getWidth, img.getHeight, 1, ImageCodec.features(img, nDim))
     } else if (mt.startsWith("audio")) {
-      // real WAV decode: dims = (decoded sample rate, decoded frame count)
-      val (rate, samples) = AudioCodec.decode(bytes)
-      (rate, samples.length, 1, AudioCodec.features(samples, nDim))
+      // real WAV decode: dims = (decoded sample rate, decoded frame count).
+      // Corrupt/unsupported audio degrades to the same (-1, -1) sentinel the
+      // image path uses — one bad asset must not kill the whole job's task.
+      try {
+        val (rate, samples) = AudioCodec.decode(bytes)
+        (rate, samples.length, 1, AudioCodec.features(samples, nDim))
+      } catch {
+        case _: Exception => (-1, -1, 1, new Array[Float](nDim))
+      }
     } else {
       val frames = FakeCodec.sampleFrames(bytes, framesPerVideo)
       // mean-pool per-frame features

@@ -154,8 +154,13 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val qn = queries.filter(col("embedding").isNotNull)
-    val dimRow = qn.select(size(col("embedding"))).head(1)
-    if (dimRow.isEmpty) return emptyDf(spark, KnnSchema)
+    // plane dimension comes from the INDEX side (one row probed — cheap even
+    // on a staged parquet index): probes must hash with the build-time
+    // planes, and deriving dim from the queries would silently probe
+    // mismatched buckets if a drifted query batch has a different length
+    // (signBucket truncates to min(len), matching the build side).
+    val dimRow = index.select(size(col("emb"))).head(1)
+    if (dimRow.isEmpty || qn.isEmpty) return emptyDf(spark, KnnSchema)
     val dim = dimRow(0).getInt(0)
     val planes = spark.sparkContext.broadcast(tablePlanes(nBits, nTables, dim))
 

@@ -90,19 +90,32 @@ object LogFiles {
     * persists its archive index instead of re-deriving per job. Driver
     * memory holds one small ChunkMeta per chunk — size chunkBytes so
     * files/chunkBytes stays ~10⁵–10⁶ (the same regime as Spark's own
-    * driver-side file-split planning). Soundness precondition (checked):
-    * no timestamp pattern can match '\n' — split points are line starts,
-    * so a newline-swallowing timestamp could hide an event boundary from
-    * the index pass.
+    * driver-side file-split planning). Soundness preconditions (checked):
+    * '\n' is a delimiter and neither the timestamp nor the variable DFA can
+    * consume '\n' — split points are line starts, so a newline-swallowing
+    * token could hide an event boundary (and a newline) from the index pass.
     */
   def eventsSplit(spark: SparkSession, pathGlob: String, bank: Broadcast[PatternBank],
                   chunkBytes: Long = 16L << 20): Dataset[LogEvent] = {
+    // Soundness guards: split points are line starts, so '\n' must be a
+    // hard token boundary. A timestamp OR variable pattern that can consume
+    // '\n' lets a token swallow a newline (tokenize then neither probes the
+    // next line start nor counts the newline), and a schema without '\n' as
+    // a delimiter has no line structure at all.
     require(!bank.value.tsDfa.canTransitionOn('\n'),
       "within-file split requires newline-free timestamp patterns; use events() instead")
+    require(!bank.value.varDfa.canTransitionOn('\n'),
+      "within-file split requires newline-free variable patterns; use events() instead")
+    require(bank.value.isDelimiter('\n'),
+      "within-file split requires '\\n' to be a delimiter; use events() instead")
     require(chunkBytes >= 4096, s"chunkBytes too small: $chunkBytes")
     import spark.implicits._
 
     val hconf = spark.sparkContext.hadoopConfiguration
+    // executor-side reads must see the SESSION's Hadoop conf (credentials,
+    // endpoints, defaultFS) — a fresh Configuration() would silently limit
+    // the split path to conf-free filesystems. SerializableWritable ships it.
+    val confSer = new org.apache.spark.SerializableWritable(hconf)
     val glob = new org.apache.hadoop.fs.Path(pathGlob)
     val fs = glob.getFileSystem(hconf)
     val files = Option(fs.globStatus(glob)).getOrElse(Array.empty)
@@ -117,7 +130,8 @@ object LogFiles {
 
     // phase 1 (distributed): chunk index — event starts + newline counts
     val metas = spark.createDataset(chunks)
-      .map { case (path, idx, s, e, len) => scanChunk(path, idx, s, e, len, bank.value) }
+      .map { case (path, idx, s, e, len) =>
+        scanChunk(path, idx, s, e, len, bank.value, confSer.value) }
       .collect()
 
     // driver: prefix-sum chunk metadata into repaired regions
@@ -148,7 +162,7 @@ object LogFiles {
     // phase 2 (distributed): tokenize each region independently; restore
     // global event indices and line numbers from the prefix sums
     spark.createDataset(regions).flatMap { r =>
-      val content = new String(readRange(r.file, r.start, r.end),
+      val content = new String(readRange(r.file, r.start, r.end, confSer.value),
         java.nio.charset.StandardCharsets.UTF_8)
       eventsOf(r.file, content, bank.value).map { ev =>
         ev.copy(
@@ -159,10 +173,19 @@ object LogFiles {
     }
   }
 
-  /** Read bytes `[start, end)` of a Hadoop-FS path. */
-  private def readRange(file: String, start: Long, end: Long): Array[Byte] = {
+  /** Read bytes `[start, end)` of a Hadoop-FS path. Ranges are bounded by
+    * the JVM's array/String limit — a repaired region larger than 2 GB
+    * means >2 GB between two event starts, which no single-String tokenize
+    * (here or in wholetext [[events]]) can represent; fail with a clear
+    * message instead of a negative-size allocation.
+    */
+  private def readRange(file: String, start: Long, end: Long,
+                        conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+    require(end - start < Int.MaxValue.toLong,
+      s"single parse region of ${end - start} bytes in $file exceeds the 2 GB JVM string " +
+        "limit (one event spans >2 GB between timestamps)")
     val path = new org.apache.hadoop.fs.Path(file)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(conf)
     val in = fs.open(path)
     try {
       val buf = new Array[Byte]((end - start).toInt)
@@ -180,9 +203,10 @@ object LogFiles {
     * for boundary detection).
     */
   private def scanChunk(file: String, chunkIdx: Int, start: Long, end: Long,
-                        fileLen: Long, bank: PatternBank): ChunkMeta = {
+                        fileLen: Long, bank: PatternBank,
+                        conf: org.apache.hadoop.conf.Configuration): ChunkMeta = {
     var lookahead = 8192L
-    var buf = readRange(file, math.max(0L, start - 1), math.min(fileLen, end + lookahead))
+    var buf = readRange(file, math.max(0L, start - 1), math.min(fileLen, end + lookahead), conf)
     val bufStart = math.max(0L, start - 1)
 
     // probe result: 1 = event start, 0 = no, -1 = ran off the buffer alive
@@ -205,7 +229,7 @@ object LogFiles {
       var r = probe(fromOff)
       while (r == -1) {
         lookahead *= 4
-        buf = readRange(file, bufStart, math.min(fileLen, end + lookahead))
+        buf = readRange(file, bufStart, math.min(fileLen, end + lookahead), conf)
         r = probe(fromOff)
       }
       r == 1
