@@ -69,4 +69,40 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(row.getString(0) == "bash")
     } finally spark.conf.unset(GraftExtensions.SchemaPathConf)
   }
+
+  test("schema bank cache invalidates on file modification (mtime-keyed)") {
+    import spark.implicits._
+    def yamlWith(word: String) =
+      s"""timestamp: []
+         |delimiters: " \\n"
+         |variables:
+         |  marker: '($word)'
+         |""".stripMargin
+    val path = java.nio.file.Files.createTempFile("graft-schema-edit", ".yaml")
+    java.nio.file.Files.writeString(path, yamlWith("alpha"))
+    java.nio.file.Files.setLastModifiedTime(path,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Seq(("c1", 0, "user", null.asInstanceOf[String], "alpha beta\n"))
+      .toDF("conv_id", "turn_idx", "role", "tool", "text")
+      .createOrReplaceTempView("turns_edit")
+    spark.conf.set(GraftExtensions.SchemaPathConf, path.toString)
+    try {
+      def nVars(): Long = spark.sql(
+        """SELECT size(filter(p.tokens, t -> t.token_type = 1))
+          |FROM (SELECT parse_turn(text, role, tool) AS p FROM turns_edit)""".stripMargin)
+        .first().getInt(0).toLong
+      assert(nVars() == 1L) // 'alpha' matches
+      // edit the schema in place: 'beta' becomes the variable instead
+      java.nio.file.Files.writeString(path, yamlWith("beta"))
+      java.nio.file.Files.setLastModifiedTime(path,
+        java.nio.file.attribute.FileTime.fromMillis(1000000001000L))
+      assert(nVars() == 1L) // 'beta' matches under the recompiled bank
+      // and the stale bank really was replaced: a word only the OLD schema
+      // matched no longer tokenizes as a variable
+      Seq(("c1", 0, "user", null.asInstanceOf[String], "alpha only\n"))
+        .toDF("conv_id", "turn_idx", "role", "tool", "text")
+        .createOrReplaceTempView("turns_edit")
+      assert(nVars() == 0L)
+    } finally spark.conf.unset(GraftExtensions.SchemaPathConf)
+  }
 }
