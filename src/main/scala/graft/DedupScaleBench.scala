@@ -92,6 +92,10 @@ object DedupScaleBench {
         stagingDir = Some(stage)))
       finally graft.pipeline.Staging.deleteRecursively(stage)
       timed("simhash")(Dedup.simhashPairs(docs, maxHamming = 3))
+      val stage2 = graft.pipeline.Staging.tempDir("graft-dedup-stage-sim")
+      try timed("simhash-staged")(Dedup.simhashPairs(docs, maxHamming = 3,
+        stagingDir = Some(stage2)))
+      finally graft.pipeline.Staging.deleteRecursively(stage2)
     } finally spark.stop()
   }
 }

@@ -237,8 +237,11 @@ object SparkEntry {
       Dedup.minhashPairs(docsWithDups(s, dir), threshold = 0.8,
         stagingDir = Some(graft.pipeline.Staging.tempDirDeletedOnExit("graft-d3-stage")))
         .orderBy("id_a", "id_b")),
+    // staged signatures, same rationale (and lifecycle) as d3's collapse
     "d4_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docsWithDups(s, dir), maxHamming = 3).orderBy("id_a", "id_b")),
+      Dedup.simhashPairs(docsWithDups(s, dir), maxHamming = 3,
+        stagingDir = Some(graft.pipeline.Staging.tempDirDeletedOnExit("graft-d4-stage")))
+        .orderBy("id_a", "id_b")),
     "d5_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithDups(s, dir), n = 3, threshold = 0.5).orderBy("id_a", "id_b")),
     // embedding-cosine near-dup: d6 is the exact blocked baseline (full

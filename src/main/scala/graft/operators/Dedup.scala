@@ -273,10 +273,24 @@ object Dedup {
     * bit_count(sig_a ^ sig_b). Column-only: no typed map, no collect_list.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
-                   maxBucket: Int = 4096, maxGroupExpand: Int = 64): DataFrame = {
+                   maxBucket: Int = 4096, maxGroupExpand: Int = 64,
+                   /** Same contract as [[minhashPairs]]'s stagingDir: the
+                     * signature table (doc_id, sig — 16 bytes/row) feeds the
+                     * group-agg and the member-join branches; lazily each
+                     * branch re-scans the corpus TEXT and re-hashes it.
+                     * Staged, the text is read once and every branch reads
+                     * the slim parquet. Caller owns the (unique) path.
+                     */
+                   stagingDir: Option[String] = None): DataFrame = {
     require(maxHamming <= 3, "4×16-bit banding guarantees recall only for hamming ≤ 3")
-    val sigs = documents.select(col("doc_id"),
+    val sigsPlan = documents.select(col("doc_id"),
       graft.functions.functions.simhash64(col("text")).as("sig"))
+    val sigs = stagingDir match {
+      case Some(dir) =>
+        sigsPlan.write.mode("overwrite").parquet(dir)
+        documents.sparkSession.read.parquet(dir)
+      case None => sigsPlan
+    }
 
     // signature-identical collapse (identical texts have identical sigs)
     val groups = sigs.groupBy("sig")

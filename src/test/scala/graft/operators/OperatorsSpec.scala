@@ -79,6 +79,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(viaStaged == viaLazy)
       assert(viaStaged.nonEmpty)
+
+      val stage2 = s"$stage/simhash"
+      val simLazy = Dedup.simhashPairs(docsDup).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val simStaged = Dedup.simhashPairs(docsDup, stagingDir = Some(stage2))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(simStaged == simLazy)
+      assert(simStaged.nonEmpty)
     } finally graft.pipeline.Staging.deleteRecursively(stage)
   }
 
