@@ -244,6 +244,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     "d5_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithDups(s, dir), n = 3, threshold = 0.5).orderBy("id_a", "id_b")),
+    // near-dup pairs → canonical keep/drop clusters (connected components;
+    // rep = min doc_id). Runs over the d5 pair set because that pair source
+    // is itself DuckDB-reproducible, so the oracle can rebuild the same
+    // graph and close it transitively with a recursive CTE.
+    "d8_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.ngramJaccardPairs(docsWithDups(s, dir), n = 3, threshold = 0.5))
+        .orderBy("doc_id")),
     // embedding-cosine near-dup: d6 is the exact blocked baseline (full
     // DuckDB oracle), d7 gates the LSH scale path's recall against it.
     // d6 is O(n²) BY DESIGN (it is the labeled oracle twin, not a scale
@@ -476,6 +483,23 @@ object SparkEntry {
         |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(round(j, 4) AS DOUBLE) AS jaccard FROM p
         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "d8_dedup_clusters" ->
+      s"""WITH RECURSIVE docs AS ($DocsWithDupsSql),
+        |g AS (SELECT doc_id, source, list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |    ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)] END) AS grams
+        |  FROM (SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws FROM docs)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT DISTINCT a, a FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep_id FROM reach
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t4_fingerprint" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws FROM documents),

@@ -378,6 +378,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Collapse verified near-duplicate PAIRS into canonical clusters: the
+    * keep/drop decision a dedup pipeline actually emits. Connected
+    * components over the undirected pair graph; the representative is the
+    * SMALLEST doc_id in each component (transitively: a~b, b~c ⇒ a,b,c one
+    * cluster even if a~c was never scored). Returns (doc_id, rep_id) for
+    * every document that appears in at least one pair — docs with
+    * rep_id != doc_id are the drop list.
+    *
+    * Transitive closure is the one dedup step DataFrame algebra cannot
+    * express (it is inherently iterative), so this uses the platform's
+    * native answer: GraphX Pregel connected components — O(diameter)
+    * supersteps, each a pregel message exchange, no driver-side loop over
+    * collected data. Component ids from GraphX are already the minimum
+    * vertex id, which is exactly the min-doc_id-survives convention the
+    * exact/normalized dedup operators use.
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].rdd
+    org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 1)
+      .connectedComponents()
+      .vertices
+      .toDF("doc_id", "rep_id")
+  }
+
   /** Word n-gram Jaccard similarity, blocked by `source` to bound the pair
     * space (exact within blocks — the brute-force comparison baseline, and
     * the one dedup operator simple enough for a full DuckDB oracle).

@@ -105,6 +105,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     exactIds.foreach(id => assert(got0.contains((id, id + 100000L)), s"missing exact pair for $id"))
   }
 
+  test("dedup clusters: transitive closure of pairs, rep = min id (vs union-find oracle)") {
+    import spark.implicits._
+    // hand-built: {1,2,3} chained without the 1-3 pair; {10,11}; 50 isolated (absent)
+    val hand = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(hand).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // real pair set: compare against a driver-side union-find
+    val pairs = Dedup.ngramJaccardPairs(docsDup, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val real = Dedup.clusters(Dedup.ngramJaccardPairs(docsDup, n = 3, threshold = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(real == want)
+  }
+
   test("ngram jaccard pairs: symmetric-free, thresholded, includes injected near-dups") {
     val pairs = Dedup.ngramJaccardPairs(docsDup, n = 3, threshold = 0.5).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
