@@ -96,6 +96,15 @@ object DedupScaleBench {
       try timed("simhash-staged")(Dedup.simhashPairs(docs, maxHamming = 3,
         stagingDir = Some(stage2)))
       finally graft.pipeline.Staging.deleteRecursively(stage2)
+      // pairs → components at the same scale (the keep/drop-list step).
+      // Pair generation is staged to parquet UNTIMED so the number is the
+      // connected-components step alone.
+      val stage3 = graft.pipeline.Staging.tempDir("graft-dedup-stage-cc")
+      try {
+        Dedup.minhashPairs(docs, threshold = 0.8, stagingDir = Some(s"$stage3/collapse"))
+          .write.parquet(s"$stage3/pairs")
+        timed("clusters")(Dedup.clusters(spark.read.parquet(s"$stage3/pairs")))
+      } finally graft.pipeline.Staging.deleteRecursively(stage3)
     } finally spark.stop()
   }
 }
