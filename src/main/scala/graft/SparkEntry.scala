@@ -54,6 +54,29 @@ object SparkEntry {
       SyntheticTranscripts.dimTool(spark), SyntheticTranscripts.dimRole(spark))
   }
 
+  /** LSH kNN through a parquet-staged index (build → persist → read →
+    * query), the driver-surface twin of Similarity's build/query split.
+    * Unique temp dir per call, removed at JVM exit (driver contract:
+    * queries built ~once per process).
+    */
+  private def stagedLshKnn(emb: DataFrame, q: DataFrame): DataFrame = {
+    val dir = graft.pipeline.Staging.tempDirDeletedOnExit("graft-s2-index")
+    Similarity.lshIndex(emb, nBits = 4).write.parquet(s"$dir/lsh")
+    Similarity.lshKnnIndexed(emb.sparkSession.read.parquet(s"$dir/lsh"), q, k = 5, nBits = 4)
+  }
+
+  /** IVF kNN through a parquet-staged index + centroid model. */
+  private def stagedIvfKnn(emb: DataFrame, q: DataFrame): DataFrame = {
+    val dir = graft.pipeline.Staging.tempDirDeletedOnExit("graft-s3-index")
+    val cs = Similarity.ivfTrain(emb, nCells = 16)
+    Similarity.ivfIndex(emb, cs).write.parquet(s"$dir/ivf")
+    Similarity.centroidsToDf(emb.sparkSession, cs).write.parquet(s"$dir/centroids")
+    Similarity.ivfKnnIndexed(
+      emb.sparkSession.read.parquet(s"$dir/ivf"),
+      Similarity.centroidsFromDf(emb.sparkSession.read.parquet(s"$dir/centroids")),
+      q, k = 5, nProbe = 6)
+  }
+
   /** Mean recall of an ANN method vs the exact brute-force top-k, reported
     * as a driver-checkable single row: (n_queries, recall_pass). The brute
     * side is the independently-tested exact operator; DuckDB re-derives
@@ -281,24 +304,25 @@ object SparkEntry {
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy("query_id", "rank")
     }),
+    // s2/s3 run the build-once/query-many contract END TO END: the index is
+    // built, persisted to parquet, read back, and queried — the shape a
+    // 100 TB corpus demands (identical results to the one-shot plan, proven
+    // by the OperatorsSpec round-trip equality test)
     "s2_knn_lsh" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 5, nBits = 4)
-        .orderBy("query_id", "rank")
+      stagedLshKnn(emb, emb.filter(col("vec_id") < 10)).orderBy("query_id", "rank")
     }),
     "s3_knn_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5, nCells = 16, nProbe = 6)
-        .orderBy("query_id", "rank")
+      stagedIvfKnn(emb, emb.filter(col("vec_id") < 10)).orderBy("query_id", "rank")
     }),
     // recall gates: ANN quality asserted as a driver-checkable result — the
-    // oracle pins n_queries (recomputed by DuckDB) and recall_pass=true
+    // oracle pins n_queries (recomputed by DuckDB) and recall_pass=true;
+    // the approximate side queries the staged index like s2/s3
     "s4_lsh_recall" -> ((s, dir) =>
-      annRecall(tbl(s, dir, "embeddings"),
-        (emb, q) => Similarity.lshKnn(emb, q, k = 5, nBits = 4), minRecall = 0.6)),
+      annRecall(tbl(s, dir, "embeddings"), stagedLshKnn, minRecall = 0.6)),
     "s5_ivf_recall" -> ((s, dir) =>
-      annRecall(tbl(s, dir, "embeddings"),
-        (emb, q) => Similarity.ivfKnn(emb, q, k = 5, nCells = 16, nProbe = 6), minRecall = 0.6)),
+      annRecall(tbl(s, dir, "embeddings"), stagedIvfKnn, minRecall = 0.6)),
 
     // ---- text analysis ----
     "t1_quality" -> ((s, dir) =>
