@@ -91,6 +91,43 @@ class LogFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(splitSmall.toSeq == wholeSmall.toSeq)
   }
 
+  test("within-file split property: random logs × minimal chunks equal the single-task parse") {
+    // deterministic pseudo-random log shapes chosen to stress the boundary
+    // math: lines longer than a whole chunk (chunks with NO line start),
+    // events starting exactly at chunk boundaries, empty lines, missing
+    // trailing newline, timestamp-less preambles
+    val bank = spark.sparkContext.broadcast(PatternBank.example)
+    val dir = java.nio.file.Files.createTempDirectory("graft-split-prop")
+    def key(e: LogFiles.LogEvent) =
+      (e.event_idx, e.line_start, e.line_end, e.has_timestamp, e.first_ts,
+        e.n_tokens, e.n_errors, e.error_signature, e.category, e.text)
+    (1 to 8).foreach { seed =>
+      var h = graft.pipeline.Rng.mix(seed.toLong)
+      def next(bound: Int): Int = { h = graft.pipeline.Rng.mix(h); graft.pipeline.Rng.bounded(h, bound) }
+      val sb = new java.lang.StringBuilder(64 << 10)
+      val nLines = 200 + next(300)
+      (0 until nLines).foreach { i =>
+        next(10) match {
+          case 0 => sb.append("\n") // empty line
+          case 1 | 2 => // continuation / preamble line, sometimes huge
+            val len = if (next(8) == 0) 5000 + next(8000) else next(80)
+            sb.append("x").append("word ".repeat(len / 5)).append("\n")
+          case _ => // timestamp-led line
+            sb.append(f"2015-03-23 ${next(24)}%02d:${next(60)}%02d:${next(60)}%02d,${next(1000)}%03d ")
+            sb.append(if (next(5) == 0) "ERROR" else "INFO")
+            sb.append(s" [t-${next(9)}] event $i value ${next(100000)}\n")
+        }
+      }
+      if (next(2) == 0) sb.setLength(sb.length - 1) // sometimes no trailing \n
+      val f = dir.resolve(s"prop-$seed.log")
+      java.nio.file.Files.writeString(f, sb.toString)
+      val whole = LogFiles.events(spark, f.toString, bank).collect().map(key).sortBy(_._1).toSeq
+      val split = LogFiles.eventsSplit(spark, f.toString, bank, chunkBytes = 4096)
+        .collect().map(key).sortBy(_._1).toSeq
+      assert(split == whole, s"seed $seed diverged (whole=${whole.length}, split=${split.length})")
+    }
+  }
+
   test("ERROR events are categorized and templated") {
     val bank = PatternBank.example
     val content =
