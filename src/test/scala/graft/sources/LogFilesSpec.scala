@@ -126,6 +126,15 @@ class LogFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(key).sortBy(_._1).toSeq
       assert(split == whole, s"seed $seed diverged (whole=${whole.length}, split=${split.length})")
     }
+
+    // and all files under ONE glob: per-file offsets must not bleed across files
+    def byFile(evs: Array[LogFiles.LogEvent]) =
+      evs.groupBy(_.file.split('/').last).view.mapValues(_.map(key).sortBy(_._1).toSeq).toMap
+    val wholeAll = byFile(LogFiles.events(spark, s"$dir/prop-*.log", bank).collect())
+    val splitAll = byFile(LogFiles.eventsSplit(spark, s"$dir/prop-*.log", bank,
+      chunkBytes = 4096).collect())
+    assert(splitAll.keySet == wholeAll.keySet && splitAll.keySet.size == 8)
+    splitAll.keySet.foreach(f => assert(splitAll(f) == wholeAll(f), s"glob diverged in $f"))
   }
 
   test("ERROR events are categorized and templated") {
