@@ -60,8 +60,10 @@ object LogFiles {
     * the chunk, and newline counts (for global line numbering).
     * `firstEventStart == -1` means no event starts inside this chunk (a
     * single event spans it) — its bytes belong to the previous owner.
+    * Public: [[chunkIndex]] returns these so the index can be persisted to
+    * parquet and reused across jobs.
     */
-  private[sources] final case class ChunkMeta(
+  final case class ChunkMeta(
       file: String, chunkIdx: Int, start: Long, end: Long,
       firstEventStart: Long, nEventStarts: Long,
       nNewlines: Long, nNewlinesBeforeFirstEvent: Long)
@@ -96,7 +98,19 @@ object LogFiles {
     * token could hide an event boundary (and a newline) from the index pass.
     */
   def eventsSplit(spark: SparkSession, pathGlob: String, bank: Broadcast[PatternBank],
-                  chunkBytes: Long = 16L << 20): Dataset[LogEvent] = {
+                  chunkBytes: Long = 16L << 20): Dataset[LogEvent] =
+    eventsFromIndex(spark, chunkIndex(spark, pathGlob, bank, chunkBytes), bank)
+
+  /** Phase 1 as a first-class, PERSISTABLE artifact: the chunk index — one
+    * slim row per `chunkBytes` range of each matched file (event-start
+    * offsets + newline counts). This is the CLP move: the index costs one
+    * IO-bound scan of the raw logs, and once written to parquet it lets
+    * every later job ([[eventsFromIndex]]) jump straight to repaired
+    * parse regions without re-deriving boundaries — write it next to the
+    * archive and reuse it for the file's lifetime (raw logs are immutable).
+    */
+  def chunkIndex(spark: SparkSession, pathGlob: String, bank: Broadcast[PatternBank],
+                 chunkBytes: Long = 16L << 20): Dataset[ChunkMeta] = {
     // Soundness guards: split points are line starts, so '\n' must be a
     // hard token boundary. A timestamp OR variable pattern that can consume
     // '\n' lets a token swallow a newline (tokenize then neither probes the
@@ -128,11 +142,22 @@ object LogFiles {
       (0 until n).map(i => (path, i, i * chunkBytes, math.min(len, (i + 1) * chunkBytes), len))
     }.toSeq
 
-    // phase 1 (distributed): chunk index — event starts + newline counts
-    val metas = spark.createDataset(chunks)
+    spark.createDataset(chunks)
       .map { case (path, idx, s, e, len) =>
         scanChunk(path, idx, s, e, len, bank.value, confSer.value) }
-      .collect()
+  }
+
+  /** Phase 2: parse events from a (possibly parquet-round-tripped) chunk
+    * index. The index rows are collected (slim — one per chunk), prefix-
+    * summed into repaired regions on the driver, and each region is
+    * tokenized independently. Output equals [[events]] byte-for-byte.
+    */
+  def eventsFromIndex(spark: SparkSession, index: Dataset[ChunkMeta],
+                      bank: Broadcast[PatternBank]): Dataset[LogEvent] = {
+    import spark.implicits._
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val metas = index.collect()
 
     // driver: prefix-sum chunk metadata into repaired regions
     val regions = metas.groupBy(_.file).toSeq.flatMap { case (file, ms) =>

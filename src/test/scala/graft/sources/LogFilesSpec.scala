@@ -89,6 +89,17 @@ class LogFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val wholeSmall = LogFiles.events(spark, s"$dir/small.log", bank).collect().map(key).sortBy(_._1)
     val splitSmall = LogFiles.eventsSplit(spark, s"$dir/small.log", bank).collect().map(key).sortBy(_._1)
     assert(splitSmall.toSeq == wholeSmall.toSeq)
+
+    // the chunk index is a persistable artifact: parquet round trip, then
+    // parse from the STAGED index — identical events, no re-indexing pass
+    import spark.implicits._
+    val idxDir = s"$dir/chunk-index"
+    LogFiles.chunkIndex(spark, s"$dir/big.log", bank, chunkBytes = 64 * 1024)
+      .write.parquet(idxDir)
+    val fromStaged = LogFiles.eventsFromIndex(spark,
+        spark.read.parquet(idxDir).as[LogFiles.ChunkMeta], bank)
+      .collect().map(key).sortBy(_._1)
+    assert(fromStaged.toSeq == whole.map(key).sortBy(_._1).toSeq)
   }
 
   test("within-file split property: random logs × minimal chunks equal the single-task parse") {
