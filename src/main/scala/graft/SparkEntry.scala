@@ -195,6 +195,17 @@ object SparkEntry {
         .intersect(tbl(s, dir, "part").filter(col("p_size") > 40).select(col("p_partkey").as("k")))
         .agg(count(lit(1)).as("n"))
     }),
+    // distinct aggregate: Catalyst expands this into an Expand + two-level
+    // aggregate (partial distinct per group) — the remaining relational
+    // physical-operator family the surface didn't yet exercise
+    "q18_count_distinct" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
     "q16_except" -> ((s, dir) => {
       tbl(s, dir, "lineitem").select(col("l_partkey").as("k"))
         .except(tbl(s, dir, "part").filter(col("p_size") > 40).select(col("p_partkey").as("k")))
@@ -436,6 +447,10 @@ object SparkEntry {
     "q9_setop" ->
       """SELECT count(*) AS n FROM
         |((SELECT l_partkey FROM lineitem) INTERSECT (SELECT p_partkey FROM part WHERE p_size > 40))""".stripMargin,
+    "q18_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_except" ->
       """SELECT count(*) AS n FROM
         |((SELECT l_partkey FROM lineitem) EXCEPT (SELECT p_partkey FROM part WHERE p_size > 40))""".stripMargin,
