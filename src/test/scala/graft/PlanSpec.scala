@@ -91,6 +91,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("q18 distinct aggregate plans via Expand + partial aggregation (no naive re-shuffle per distinct)") {
+    val plan = planOf(SparkEntry.queries("q18_count_distinct")(spark, sfDir))
+    // Catalyst rewrites multi-distinct into ONE Expand feeding a two-level
+    // HashAggregate — the scalable shape (vs one shuffle per distinct column)
+    assert(plan.contains("Expand"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    // scan reads only the three columns involved
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("l_returnflag") && scanLine.contains("l_partkey")
+      && scanLine.contains("l_suppkey"))
+    assert(!scanLine.contains("l_quantity"))
+  }
+
   test("brute-force knn broadcasts the query side (no corpus shuffle before scoring)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = planOf(graft.operators.Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 3), 3))
