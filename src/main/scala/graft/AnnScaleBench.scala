@@ -33,6 +33,37 @@ object AnnScaleBench {
     spark.range(n).map(id => (id, vec(id, dim, nClusters))).toDF("vec_id", "embedding")
   }
 
+  /** Same mixture, but cluster membership CORRELATES with vec_id (contiguous
+    * id blocks per cluster) — the id layout of any corpus ingested shard-by-
+    * shard or time-ordered. This is the corpus that exposes a biased IVF
+    * training sample: training on the smallest ids sees ONE cluster and the
+    * coarse quantizer learns a corner.
+    */
+  def vecCorrelated(id: Long, n: Long, dim: Int, nClusters: Int): Array[Float] = {
+    val cluster = math.min(nClusters - 1, (id * nClusters / n).toInt)
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val center = ((Rng.mix2(cluster.toLong * 7919L, i.toLong) >>> 11).toDouble / (1L << 53) - 0.5) * 2.0
+      val noise = ((Rng.mix2(id, i.toLong) >>> 11).toDouble / (1L << 53) - 0.5) * 0.4
+      out(i) = (center + noise).toFloat
+      i += 1
+    }
+    out
+  }
+
+  def corpusCorrelated(spark: SparkSession, n: Long, dim: Int, nClusters: Int = 16): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map(id => (id, vecCorrelated(id, n, dim, nClusters))).toDF("vec_id", "embedding")
+  }
+
+  def dirBytes(dir: String): Long = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 1000000L
     val dim = if (args.length > 1) args(1).toInt else 64
@@ -47,16 +78,17 @@ object AnnScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val metrics = BenchMetrics.install(spark.sparkContext)
     try {
       val emb = corpus(spark, n, dim).repartition(math.max(16, cores * 2)).persist()
       emb.count()
       val queries = emb.filter(col("vec_id") < nQueries)
 
       def run(name: String)(df: => DataFrame): Set[(Long, Long)] = {
-        val t0 = System.nanoTime()
-        val rows = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-        val secs = (System.nanoTime() - t0) / 1e9
-        println(f"[ann-scale] $name n=$n dim=$dim queries=$nQueries wall=$secs%.1fs cores=$cores")
+        val (rows, secs, sw, sr) = BenchMetrics.timedWithShuffle(metrics)(
+          df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+        println(f"[ann-scale] $name n=$n dim=$dim queries=$nQueries wall=$secs%.1fs " +
+          f"shuffleWrite=${sw / 1e6}%.1fMB shuffleRead=${sr / 1e6}%.1fMB cores=$cores")
         rows
       }
       val brute = run("brute")(Similarity.bruteForceKnn(emb, queries, k = 10))
@@ -65,18 +97,47 @@ object AnnScaleBench {
       println(f"[ann-scale] recall@10=$recall%.3f")
 
       // build-once-query-many: index staged to parquet (the 100 TB shape —
-      // index build paid once, per-batch queries touch only the index)
+      // index build paid once, per-batch queries touch only the index).
+      // The staged artifact is the SLIM layout: (bucket, id) rows ×nTables
+      // plus ONE copy of the vectors — index bytes reported so the
+      // amplification factor vs an embedded-vector index is visible.
       val stage = graft.pipeline.Staging.tempDir("graft-ann-index")
       try {
         val t0 = System.nanoTime()
         Similarity.lshIndex(emb, nBits = 10, nTables = 4).write.parquet(s"$stage/lsh")
-        println(f"[ann-scale] lsh-index-build wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+        Similarity.vectorTable(emb).write.parquet(s"$stage/vectors")
+        println(f"[ann-scale] lsh-index-build wall=${(System.nanoTime() - t0) / 1e9}%.1fs " +
+          f"buckets=${dirBytes(s"$stage/lsh") / 1e6}%.1fMB vectors=${dirBytes(s"$stage/vectors") / 1e6}%.1fMB")
         val idx = spark.read.parquet(s"$stage/lsh")
+        val vecs = spark.read.parquet(s"$stage/vectors")
         val staged = run("lsh-query-staged")(
-          Similarity.lshKnnIndexed(idx, queries, k = 10, nBits = 10, nTables = 4))
+          Similarity.lshKnnIndexed(idx, vecs, queries, k = 10, nBits = 10, nTables = 4))
         val recallStaged = staged.intersect(brute).size.toDouble / brute.size
         println(f"[ann-scale] staged recall@10=$recallStaged%.3f")
       } finally graft.pipeline.Staging.deleteRecursively(stage)
+
+      // IVF on a cluster-correlated id layout: the case a biased training
+      // sample (smallest ids = one cluster) fails. uniform = ivfTrain's
+      // seeded hash-ordered sample over the whole corpus; biased = the same
+      // trainer restricted to the smallest 256 ids (exactly what ordering by
+      // raw vec_id used to sample). Expect uniform recall to hold and
+      // biased recall to collapse.
+      val nCorr = math.min(n, 200000L)
+      val embCorr = corpusCorrelated(spark, nCorr, dim).repartition(math.max(16, cores * 2)).persist()
+      embCorr.count()
+      val qCorr = embCorr.filter(col("vec_id") % (nCorr / nQueries) === 0)
+      val bruteCorr = run("brute-correlated")(Similarity.bruteForceKnn(embCorr, qCorr, k = 10))
+      def ivfRecall(label: String, trainFrame: DataFrame): Double = {
+        val cs = Similarity.ivfTrain(trainFrame, nCells = 16)
+        val got = run(s"ivf-$label")(Similarity.ivfKnnIndexed(
+          Similarity.ivfIndex(embCorr, cs), cs, qCorr, k = 10, nProbe = 4))
+        val r = got.intersect(bruteCorr).size.toDouble / bruteCorr.size
+        println(f"[ann-scale] ivf-$label recall@10=$r%.3f (correlated ids, n=$nCorr)")
+        r
+      }
+      val uniformRecall = ivfRecall("uniform-sample", embCorr)
+      val biasedRecall = ivfRecall("biased-sample", embCorr.filter(col("vec_id") < 256))
+      println(f"[ann-scale] ivf sample-bias delta: uniform=$uniformRecall%.3f biased=$biasedRecall%.3f")
     } finally spark.stop()
   }
 }

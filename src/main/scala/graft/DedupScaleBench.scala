@@ -75,16 +75,20 @@ object DedupScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the bench's whole point is lazy-vs-staged: keep the "lazy" arms
+    // genuinely lazy instead of letting the auto-stage heuristic (which
+    // would fire at this corpus size) stage them behind our back
+    spark.conf.set(Dedup.AutoStageConf, "false")
+    val metrics = BenchMetrics.install(spark.sparkContext)
     try {
       val docs = corpus(spark, nUnique, dupFactor, hotCluster)
       docs.persist()
       val nDocs = docs.count()
 
       def timed(name: String)(df: => DataFrame): Unit = {
-        val t0 = System.nanoTime()
-        val n = df.count()
-        val secs = (System.nanoTime() - t0) / 1e9
-        println(f"[dedup-scale] $name docs=$nDocs pairs=$n wall=$secs%.1fs cores=$cores")
+        val (n, secs, sw, sr) = BenchMetrics.timedWithShuffle(metrics)(df.count())
+        println(f"[dedup-scale] $name docs=$nDocs pairs=$n wall=$secs%.1fs " +
+          f"shuffleWrite=${sw / 1e6}%.1fMB shuffleRead=${sr / 1e6}%.1fMB cores=$cores")
       }
       timed("minhash")(Dedup.minhashPairs(docs, threshold = 0.8))
       val stage = graft.pipeline.Staging.tempDir("graft-dedup-stage")

@@ -39,27 +39,33 @@ object GraftExtensions {
   val SchemaPathConf = "spark.graft.schema.path"
 
   private lazy val exampleBank: PatternBank = PatternBank.example
-  // one entry per path holding (mtime, bank): editing the schema file in a
-  // long-lived session recompiles instead of silently parsing with the
-  // stale bank, and the superseded bank is dropped (a (path, mtime) key
-  // would leak every previous compilation for the process lifetime)
+  // one entry per path holding ((mtime, length), bank): editing the schema
+  // file in a long-lived session recompiles instead of silently parsing
+  // with the stale bank, and the superseded bank is dropped (a keyed-on-
+  // version map would leak every previous compilation for the process
+  // lifetime). mtime ALONE misses a rewrite within the filesystem's mtime
+  // granularity (1 s on some filesystems) and lastModified()'s 0-on-IO-
+  // error; pairing it with the byte length catches the realistic same-
+  // second edit (schema edits virtually never preserve exact length, and a
+  // length-preserving one still changes mtime on the next tick).
   private val bankCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, PatternBank)]()
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), PatternBank)]()
 
   /** Bank for the current session: the conf-named YAML (compiled once per
-    * path+mtime, process-wide) or the example schema. Resolved at
-    * expression-build (analysis) time, so different sessions of one JVM can
-    * parse with different schemas.
+    * path + (mtime, length) version, process-wide) or the example schema.
+    * Resolved at expression-build (analysis) time, so different sessions of
+    * one JVM can parse with different schemas.
     */
   private def sessionBank(): PatternBank =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .flatMap(_.conf.getOption(SchemaPathConf))
       .map { p =>
-        val mtime = new java.io.File(p).lastModified()
+        val f = new java.io.File(p)
+        val version = (f.lastModified(), f.length())
         bankCache.compute(p, (path, cur) =>
-          if (cur != null && cur._1 == mtime) cur
-          else (mtime, PatternBank.compile(graft.schema.SchemaConfig.fromFile(path))))._2
+          if (cur != null && cur._1 == version) cur
+          else (version, PatternBank.compile(graft.schema.SchemaConfig.fromFile(path))))._2
       }
       .getOrElse(exampleBank)
 

@@ -54,36 +54,57 @@ object SparkEntry {
       SyntheticTranscripts.dimTool(spark), SyntheticTranscripts.dimRole(spark))
   }
 
-  /** One staged ANN index per (sf dir, method): the index is a DATASET
+  /** One staged ANN index per (corpus, method): the index is a DATASET
     * artifact, so s2 and the s4 recall gate (and repeated bench runs in
     * one JVM) share the same parquet index instead of rebuilding it per
     * query construction — index once, query many, within the process too.
-    * Dirs are removed at JVM exit.
+    * The key includes the corpus plan's semantic hash AND the session
+    * identity: keying on the sf dir alone would silently serve a stale
+    * index to a caller passing a DIFFERENT embeddings frame for the same
+    * dir (or a frame bound to a new session). Dirs are removed at JVM exit.
     */
   private val annIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def cachedIndexDir(key: String)(build: String => Unit): String =
+  private def cachedIndexDir(method: String, corpus: DataFrame)(build: String => Unit): String = {
+    val key = method + ":" + corpus.queryExecution.analyzed.semanticHash() +
+      ":" + System.identityHashCode(corpus.sparkSession)
     annIndexCache.computeIfAbsent(key, { _ =>
       val d = graft.pipeline.Staging.tempDirDeletedOnExit("graft-ann-index")
       build(d)
       d
     })
+  }
 
-  /** LSH kNN through a parquet-staged index (build once per sfDir →
-    * persist → read → query), the driver-surface twin of Similarity's
-    * build/query split.
+  /** Staged-query memo for the d3/d4 eager-staging builders: one staged
+    * frame per (query, sfDir, session). Without it, every invocation of the
+    * query builder allocated a fresh temp dir and ran the staging write job
+    * again — disk and work growing per call in a looping process.
     */
-  private def stagedLshKnn(sfDir: String)(emb: DataFrame, q: DataFrame): DataFrame = {
-    val dir = cachedIndexDir(s"lsh:$sfDir") { d =>
+  private val stagedQueryCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def cachedStagedQuery(name: String, spark: SparkSession, sfDir: String)
+                               (build: => DataFrame): DataFrame =
+    stagedQueryCache.computeIfAbsent(
+      s"$name:$sfDir:${System.identityHashCode(spark)}", _ => build)
+
+  /** LSH kNN through a parquet-staged index (build once per corpus →
+    * persist → read → query), the driver-surface twin of Similarity's
+    * build/query split: slim (bucket, id) rows plus ONE copy of the
+    * vectors, instead of nTables embedded copies.
+    */
+  private def stagedLshKnn(emb: DataFrame, q: DataFrame): DataFrame = {
+    val dir = cachedIndexDir("lsh", emb) { d =>
       Similarity.lshIndex(emb, nBits = 4).write.parquet(s"$d/lsh")
+      Similarity.vectorTable(emb).write.parquet(s"$d/vectors")
     }
-    Similarity.lshKnnIndexed(emb.sparkSession.read.parquet(s"$dir/lsh"), q, k = 5, nBits = 4)
+    val spark = emb.sparkSession
+    Similarity.lshKnnIndexed(spark.read.parquet(s"$dir/lsh"),
+      spark.read.parquet(s"$dir/vectors"), q, k = 5, nBits = 4)
   }
 
   /** IVF kNN through a parquet-staged index + centroid model (shared per
-    * sfDir like the LSH index).
+    * corpus like the LSH index).
     */
-  private def stagedIvfKnn(sfDir: String)(emb: DataFrame, q: DataFrame): DataFrame = {
-    val dir = cachedIndexDir(s"ivf:$sfDir") { d =>
+  private def stagedIvfKnn(emb: DataFrame, q: DataFrame): DataFrame = {
+    val dir = cachedIndexDir("ivf", emb) { d =>
       val cs = Similarity.ivfTrain(emb, nCells = 16)
       Similarity.ivfIndex(emb, cs).write.parquet(s"$d/ivf")
       Similarity.centroidsToDf(emb.sparkSession, cs).write.parquet(s"$d/centroids")
@@ -280,19 +301,21 @@ object SparkEntry {
       Dedup.normalized(docsWithDups(s, dir)).orderBy("keep_id")),
     // staged collapse: the exact-collapse feeds four plan branches; lazy it
     // is recomputed per branch (measured 7+ corpus scans, 1.6× slower at
-    // 301k docs). Unique temp dir per call, removed at JVM exit — correct
-    // for the driver contract (each query built ~once per process); a
-    // caller re-building this query in a loop should manage one staging
-    // dir per consumed frame via Staging.deleteRecursively instead.
+    // 301k docs). The staged frame is memoized per (query, sfDir, session)
+    // like the ANN indexes — re-building the query in a loop (repeated
+    // bench/verify runs in one process) reuses one staging dir instead of
+    // accumulating a dir + eager write job per invocation.
     "d3_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(docsWithDups(s, dir), threshold = 0.8,
-        stagingDir = Some(graft.pipeline.Staging.tempDirDeletedOnExit("graft-d3-stage")))
-        .orderBy("id_a", "id_b")),
+      cachedStagedQuery("d3", s, dir) {
+        Dedup.minhashPairs(docsWithDups(s, dir), threshold = 0.8,
+          stagingDir = Some(graft.pipeline.Staging.tempDirDeletedOnExit("graft-d3-stage")))
+      }.orderBy("id_a", "id_b")),
     // staged signatures, same rationale (and lifecycle) as d3's collapse
     "d4_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docsWithDups(s, dir), maxHamming = 3,
-        stagingDir = Some(graft.pipeline.Staging.tempDirDeletedOnExit("graft-d4-stage")))
-        .orderBy("id_a", "id_b")),
+      cachedStagedQuery("d4", s, dir) {
+        Dedup.simhashPairs(docsWithDups(s, dir), maxHamming = 3,
+          stagingDir = Some(graft.pipeline.Staging.tempDirDeletedOnExit("graft-d4-stage")))
+      }.orderBy("id_a", "id_b")),
     "d5_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithDups(s, dir), n = 3, threshold = 0.5).orderBy("id_a", "id_b")),
     // near-dup pairs → canonical keep/drop clusters (connected components;
@@ -338,19 +361,19 @@ object SparkEntry {
     // by the OperatorsSpec round-trip equality test)
     "s2_knn_lsh" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      stagedLshKnn(dir)(emb, emb.filter(col("vec_id") < 10)).orderBy("query_id", "rank")
+      stagedLshKnn(emb, emb.filter(col("vec_id") < 10)).orderBy("query_id", "rank")
     }),
     "s3_knn_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      stagedIvfKnn(dir)(emb, emb.filter(col("vec_id") < 10)).orderBy("query_id", "rank")
+      stagedIvfKnn(emb, emb.filter(col("vec_id") < 10)).orderBy("query_id", "rank")
     }),
     // recall gates: ANN quality asserted as a driver-checkable result — the
     // oracle pins n_queries (recomputed by DuckDB) and recall_pass=true;
     // the approximate side queries the SAME staged index as s2/s3
     "s4_lsh_recall" -> ((s, dir) =>
-      annRecall(tbl(s, dir, "embeddings"), stagedLshKnn(dir), minRecall = 0.6)),
+      annRecall(tbl(s, dir, "embeddings"), stagedLshKnn, minRecall = 0.6)),
     "s5_ivf_recall" -> ((s, dir) =>
-      annRecall(tbl(s, dir, "embeddings"), stagedIvfKnn(dir), minRecall = 0.6)),
+      annRecall(tbl(s, dir, "embeddings"), stagedIvfKnn, minRecall = 0.6)),
 
     // ---- text analysis ----
     "t1_quality" -> ((s, dir) =>

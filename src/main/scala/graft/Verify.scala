@@ -70,12 +70,18 @@ object Verify {
 
   /** Sequential (no-Spark) replay of m1's generate→decode→featureStats:
     * VALUES rows `('type', n_assets, avg_norm, avg_width, total_frames)`
-    * with the same rounding the query applies. Must mirror
-    * SparkEntry's m1 sizing and Multimodal's default nDim/framesPerVideo.
+    * with the same rounding the query applies. Must mirror SparkEntry's m1
+    * sizing and Multimodal's default nDim/framesPerVideo. Per-type norms
+    * are summed in ASCENDING order — the exact order featureStats's
+    * sort_array aggregation uses — so avg_norm is bit-identical to the
+    * distributed side regardless of Spark's partition count (double
+    * addition is not associative; an order-free sum could flip the
+    * 4-decimal rounding at a boundary).
     */
   def m1ExpectedValues(sfDir: String): String = {
     val n = if (sfDir.contains("0.1")) 5000L else if (sfDir.contains("0.01")) 2000L else 500L
-    val acc = scala.collection.mutable.Map[String, (Long, Double, Double, Long)]()
+    val acc = scala.collection.mutable.Map[
+      String, (scala.collection.mutable.ArrayBuffer[Double], Double, Long)]()
     var id = 0L
     while (id < n) {
       val (_, mt, declW, declH, bytes) = graft.operators.Multimodal.generateOne(id)
@@ -84,13 +90,17 @@ object Verify {
       var ss = 0.0
       var i = 0
       while (i < emb.length) { ss += emb(i).toDouble * emb(i).toDouble; i += 1 }
-      val (c, sn, sw, sf) = acc.getOrElse(mt, (0L, 0.0, 0.0, 0L))
-      acc(mt) = (c + 1, sn + math.sqrt(ss), sw + w, sf + frames)
+      val (norms, sw, sf) = acc.getOrElseUpdate(mt,
+        (scala.collection.mutable.ArrayBuffer.empty[Double], 0.0, 0L))
+      norms += math.sqrt(ss)
+      acc(mt) = (norms, sw + w, sf + frames)
       id += 1
     }
     def r(v: Double, scale: Int): String =
       java.math.BigDecimal.valueOf(v).setScale(scale, java.math.RoundingMode.HALF_UP).toPlainString
-    acc.toSeq.sortBy(_._1).map { case (mt, (c, sn, sw, sf)) =>
+    acc.toSeq.sortBy(_._1).map { case (mt, (norms, sw, sf)) =>
+      val c = norms.length
+      val sn = norms.sorted.foldLeft(0.0)(_ + _)
       s"('$mt', CAST($c AS BIGINT), CAST(${r(sn / c, 4)} AS DOUBLE), " +
         s"CAST(${r(sw / c, 2)} AS DOUBLE), CAST($sf AS BIGINT))"
     }.mkString(", ")

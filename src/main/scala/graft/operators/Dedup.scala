@@ -107,6 +107,53 @@ object Dedup {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Session confs for the staging heuristic shared by [[minhashPairs]] /
+    * [[simhashPairs]]: when the caller passes no `stagingDir`, corpora of at
+    * least `autoStageMinDocs` documents are staged automatically into a
+    * temp dir removed at JVM exit (`spark.graft.dedup.autoStage=false`
+    * disables the probe entirely). Rationale: staging is a pure win above
+    * ~100k docs (measured 1.6–3.8×) and a caller who forgets the knob gets
+    * the re-scanning plan at exactly the scale where it hurts; below the
+    * threshold the lazy plan is returned unchanged, so small corpora pay
+    * neither the count probe's job nor the staging write.
+    */
+  val AutoStageConf = "spark.graft.dedup.autoStage"
+  val AutoStageMinDocsConf = "spark.graft.dedup.autoStageMinDocs"
+
+  private def resolveStaging(documents: DataFrame, stagingDir: Option[String],
+                             what: String): Option[String] =
+    stagingDir.orElse {
+      val conf = documents.sparkSession.conf
+      val auto = conf.get(AutoStageConf, "true").toBoolean
+      lazy val minDocs = conf.get(AutoStageMinDocsConf, "50000").toLong
+      // the count probe is an eager metadata-cheap job (parquet count never
+      // materializes columns); only paid when auto-staging is live
+      if (auto && documents.count() >= minDocs)
+        Some(graft.pipeline.Staging.tempDirDeletedOnExit(s"graft-autostage-$what"))
+      else None
+    }
+
+  /** Write a staged intermediate and return the read-back frame. Refuses a
+    * non-empty directory: staging used to overwrite silently, which meant
+    * reusing one path across calls invalidated the lazy frame an EARLIER
+    * call returned over the same files — wrong results with no error. A
+    * caller who wants to reuse a path must delete it first
+    * ([[graft.pipeline.Staging.deleteRecursively]]).
+    */
+  private def stageParquet(df: DataFrame, dir: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+      s"staging dir $dir is non-empty: a frame returned by an earlier call may still read it, " +
+        "and overwriting would silently corrupt that frame's results. Pass a fresh dir per " +
+        "call (Staging.tempDir) or delete it first (Staging.deleteRecursively).")
+    // overwrite is safe here — emptiness was just checked; it only tolerates
+    // the pre-created empty dir Staging.tempDir hands out
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
   /** Exact-text group key: 64-bit xxhash + crc32 + length ≈ 96 bits — a
     * collision would silently merge two different texts into one exact
     * group, so one hash is not enough at web scale.
@@ -186,10 +233,13 @@ object Dedup {
         * so pass a directory for anything real: the collapsed uniques are
         * written ONCE at call time and every branch reads the slim staged
         * table (the standard multi-job shape of production dedup
-        * pipelines). The CALLER owns the directory's lifecycle: supply a
-        * unique path per call (staging is written with overwrite — reusing
-        * a path invalidates the lazy frame an earlier call returned) and
-        * delete it after the last action over the returned frame
+        * pipelines). Left None, corpora above the [[AutoStageMinDocsConf]]
+        * threshold are auto-staged into a JVM-exit-scoped temp dir (see
+        * [[resolveStaging]]). The CALLER owns an explicit directory's
+        * lifecycle: supply a unique path per call (a non-empty dir is
+        * refused — overwriting would corrupt the lazy frame an earlier
+        * call returned over the same files) and delete it after the last
+        * action over the returned frame
         * ([[graft.pipeline.Staging]] has helpers). An internal .persist()
         * is deliberately NOT used: the operator returns a lazy frame, so it
         * could never unpersist, and a leaked cache entry degrades every
@@ -208,10 +258,8 @@ object Dedup {
     val collapsed = documents.select(col("doc_id"), col("text"), textKey.as("tk"))
       .groupBy("tk")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"), first("text").as("text"))
-    val groups = stagingDir match {
-      case Some(dir) =>
-        collapsed.write.mode("overwrite").parquet(dir)
-        spark.read.parquet(dir)
+    val groups = resolveStaging(documents, stagingDir, "minhash") match {
+      case Some(dir) => stageParquet(collapsed, dir)
       case None => collapsed
     }
     val members = documents.select(col("doc_id"), textKey.as("tk"))
@@ -279,16 +327,16 @@ object Dedup {
                      * group-agg and the member-join branches; lazily each
                      * branch re-scans the corpus TEXT and re-hashes it.
                      * Staged, the text is read once and every branch reads
-                     * the slim parquet. Caller owns the (unique) path.
+                     * the slim parquet. Caller owns the (unique, initially
+                     * empty) path; None auto-stages above the conf'd corpus
+                     * size like minhashPairs.
                      */
                    stagingDir: Option[String] = None): DataFrame = {
     require(maxHamming <= 3, "4×16-bit banding guarantees recall only for hamming ≤ 3")
     val sigsPlan = documents.select(col("doc_id"),
       graft.functions.functions.simhash64(col("text")).as("sig"))
-    val sigs = stagingDir match {
-      case Some(dir) =>
-        sigsPlan.write.mode("overwrite").parquet(dir)
-        documents.sparkSession.read.parquet(dir)
+    val sigs = resolveStaging(documents, stagingDir, "simhash") match {
+      case Some(dir) => stageParquet(sigsPlan, dir)
       case None => sigsPlan
     }
 
@@ -322,19 +370,25 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs — the scale path: multi-table
-    * random-hyperplane LSH buckets the corpus (shuffles only (bucket, id,
-    * vec)), candidate pairs form within capped buckets, and exact cosine
-    * verifies each candidate. Recall follows the standard multi-table LSH
-    * S-curve (1-(1-p^b)^L); the exact twin below is the oracle.
+    * random-hyperplane LSH buckets the corpus, candidate pairs form within
+    * capped buckets, and exact cosine verifies each candidate. Recall
+    * follows the standard multi-table LSH S-curve (1-(1-p^b)^L); the exact
+    * twin below is the oracle.
+    *
+    * Payload shape (the 100 TB bytes-moved budget): banding, the bucket cap
+    * window, and the within-bucket self-join all run on SLIM (band, bucket,
+    * doc_id) rows — round 3 shipped the full embedding through all of them
+    * ×nTables, i.e. 8–12 corpus-sized vector payloads per run. The vector
+    * corpus now crosses an exchange exactly twice, joining back onto the
+    * DISTINCT candidate pairs for the exact-cosine verification.
     */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.3,
                             nBits: Int = 4, nTables: Int = 8,
                             maxBucket: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val dimRow = embeddings
-      .filter(col("embedding").isNotNull)
-      .select(size(col("embedding"))).head(1)
+    val nonNull = embeddings.filter(col("embedding").isNotNull)
+    val dimRow = nonNull.select(size(col("embedding"))).head(1)
     if (dimRow.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL("id_a BIGINT, id_b BIGINT, cos DOUBLE"))
@@ -342,24 +396,30 @@ object Dedup {
     val planes = spark.sparkContext.broadcast(
       Array.tabulate(nTables)(t => Similarity.hyperplanes(nBits, dim, seed = 7L + t * 1000L)))
 
-    val banded = embeddings.filter(col("embedding").isNotNull)
+    val banded = nonNull
       .select(col("vec_id").as("doc_id"), col("embedding").as("emb"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         planes.value.iterator.zipWithIndex.map { case (p, t) =>
-          (t, t.toLong << 32 | Similarity.signBucket(emb, p).toLong, id, emb)
+          (t, t.toLong << 32 | Similarity.signBucket(emb, p).toLong, id)
         }
-      }.toDF("band", "bucket", "doc_id", "emb")
+      }.toDF("band", "bucket", "doc_id")
 
     val capped = capBuckets(banded, maxBucket)
-    val x = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("emb").as("emb_a"))
-    val y = capped.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("emb").as("emb_b"))
-    x.join(y, Seq("band", "bucket"))
+    val x = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val y = capped.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    val candidates = x.join(y, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val vecs = nonNull.select(col("vec_id"), col("embedding"))
+    candidates
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         graft.functions.functions.cosine_similarity(col("emb_a"), col("emb_b")).as("cos"))
       .filter(col("cos") >= threshold)
-      .groupBy("id_a", "id_b").agg(round(max("cos"), 4).as("cos"))
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
   /** Exact all-pairs embedding-cosine twin: the O(n²) labeled baseline and

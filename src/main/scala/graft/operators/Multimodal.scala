@@ -273,7 +273,16 @@ object Multimodal {
       .toDF("asset_id", "media_type", "width", "height", "n_frames", "embedding")
   }
 
-  /** Per-media-type stats over extracted features. */
+  /** Per-media-type stats over extracted features. avg_norm sums the
+    * per-asset norms in ASCENDING ORDER (sort_array over the collected
+    * group): double addition is not associative, so a partition-order avg()
+    * could flip the 4-decimal rounding at a boundary under a different core
+    * count, spuriously diverging from the oracle's sequential replay (which
+    * sorts the same way). collect_list is safe here — groups are the 3-4
+    * media types of a bounded stats summary, not corpus-sized keys. The
+    * integer-fed aggregates (avg_width, total_frames) stay plain: integer
+    * sums inside a double are exact below 2^53, so order cannot matter.
+    */
   def featureStats(features: DataFrame): DataFrame =
     features
       .withColumn("norm", sqrt(aggregate(col("embedding"), lit(0.0d),
@@ -281,7 +290,8 @@ object Multimodal {
       .groupBy("media_type")
       .agg(
         count(lit(1)).as("n_assets"),
-        round(avg("norm"), 4).as("avg_norm"),
+        round(aggregate(sort_array(collect_list(col("norm"))), lit(0.0d),
+          (acc, x) => acc + x) / count(lit(1)), 4).as("avg_norm"),
         round(avg("width"), 2).as("avg_width"),
         sum("n_frames").as("total_frames"))
 

@@ -117,10 +117,24 @@ object Similarity {
 
   // ---------------------------------------------------------------- LSH --
 
-  /** BUILD phase: the multi-table LSH index — one pass over the corpus,
-    * one row per (table, vector): (bucket, id, emb) with the table id
-    * packed into the bucket's high 32 bits. Plain DataFrame: persist it to
-    * parquet (bucketed/sorted by `bucket` if you like) and feed query
+  /** The single-copy (id, emb) vector table every ANN query phase re-ranks
+    * against — persist it ONCE next to the bucket index. Splitting vectors
+    * out of the LSH index matters at scale: an index row per (table,
+    * vector) that carries the embedding stores and shuffles the vector
+    * corpus nTables times; with slim (bucket, id) bucket rows the corpus
+    * payload exists exactly once and only candidate ids fan out per table.
+    */
+  def vectorTable(corpus: DataFrame): DataFrame =
+    corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+
+  /** BUILD phase: the multi-table LSH bucket index — one pass over the
+    * corpus, one SLIM row per (table, vector): (bucket, id, dim) with the
+    * table id packed into the bucket's high 32 bits. The constant `dim`
+    * column makes the staged index self-describing (the query side must
+    * derive its probe planes from the BUILD-time dimension); parquet
+    * dictionary-encodes it to ~nothing. Vectors deliberately do NOT ride
+    * along — persist [[vectorTable]] once beside this, and feed query
     * batches to [[lshKnnIndexed]] without ever rescanning the corpus.
     */
   def lshIndex(corpus: DataFrame, nBits: Int = 8, nTables: Int = 4): DataFrame = {
@@ -128,7 +142,7 @@ object Similarity {
     import spark.implicits._
     val nonNull = corpus.filter(col("embedding").isNotNull)
     val dimRow = nonNull.select(size(col("embedding"))).head(1)
-    if (dimRow.isEmpty) return emptyDf(spark, "bucket BIGINT, id BIGINT, emb ARRAY<FLOAT>")
+    if (dimRow.isEmpty) return emptyDf(spark, "bucket BIGINT, id BIGINT, dim INT")
     val dim = dimRow(0).getInt(0)
     val planes = spark.sparkContext.broadcast(tablePlanes(nBits, nTables, dim))
     nonNull
@@ -136,51 +150,56 @@ object Similarity {
       .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         planes.value.iterator.zipWithIndex.map { case (p, t) =>
-          (t.toLong << 32 | signBucket(emb, p).toLong, id, emb)
+          (t.toLong << 32 | signBucket(emb, p).toLong, id, dim)
         }
       }
-      .toDF("bucket", "id", "emb")
+      .toDF("bucket", "id", "dim")
   }
 
-  /** QUERY phase: approximate top-k against a prebuilt [[lshIndex]].
-    * (nBits, nTables) MUST match the index build — the probe re-derives the
-    * same deterministic planes. Each query probes its own bucket plus all
-    * 1-bit-flip neighbor buckets (multi-probe) in every table; candidates
-    * re-ranked by exact cosine. Only (bucket-matched candidates × queries)
-    * are scored — the corpus itself is never rescanned.
+  /** QUERY phase: approximate top-k against a prebuilt [[lshIndex]] +
+    * [[vectorTable]]. (nBits, nTables) MUST match the index build — the
+    * probe re-derives the same deterministic planes, sized by the `dim` the
+    * index recorded at build time (one head(1) on the index at plan time —
+    * deliberate and cheap on a staged parquet index; deriving dim from the
+    * queries would silently probe mismatched buckets for a drifted query
+    * batch). Each query probes its own bucket plus all 1-bit-flip neighbor
+    * buckets (multi-probe) in every table. Candidate generation is fully
+    * slim — (bucket, id) × broadcast (bucket, query_id) — and the vector
+    * corpus is touched exactly once, by the exact-cosine re-rank join on
+    * the distinct candidate ids.
     */
-  def lshKnnIndexed(index: DataFrame, queries: DataFrame, k: Int = 5, nBits: Int = 8,
-                    nTables: Int = 4): DataFrame = {
+  def lshKnnIndexed(index: DataFrame, vectors: DataFrame, queries: DataFrame,
+                    k: Int = 5, nBits: Int = 8, nTables: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val qn = queries.filter(col("embedding").isNotNull)
-    // plane dimension comes from the INDEX side (one row probed — cheap even
-    // on a staged parquet index): probes must hash with the build-time
-    // planes, and deriving dim from the queries would silently probe
-    // mismatched buckets if a drifted query batch has a different length
-    // (signBucket truncates to min(len), matching the build side).
-    val dimRow = index.select(size(col("emb"))).head(1)
-    if (dimRow.isEmpty || qn.isEmpty) return emptyDf(spark, KnnSchema)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val dimRow = index.select(col("dim")).head(1)
+    if (dimRow.isEmpty) return emptyDf(spark, KnnSchema)
     val dim = dimRow(0).getInt(0)
     val planes = spark.sparkContext.broadcast(tablePlanes(nBits, nTables, dim))
 
-    // per table: own bucket + all 1-bit-flip buckets (multi-probe LSH)
+    // per table: own bucket + all 1-bit-flip buckets (multi-probe LSH);
+    // probe rows are slim (bucket, query_id) — the query vectors join back
+    // only after candidates are distinct
     val probes = qn
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, emb) =>
         planes.value.iterator.zipWithIndex.flatMap { case (p, t) =>
           val b0 = signBucket(emb, p)
           (Seq(b0) ++ (0 until nBits).map(i => b0 ^ (1 << i)))
-            .distinct.map(b => (t.toLong << 32 | b.toLong, qid, emb))
+            .distinct.map(b => (t.toLong << 32 | b.toLong, qid))
         }
-      }.toDF("bucket", "query_id", "q_emb")
+      }.toDF("bucket", "query_id")
 
-    val scored = index.join(broadcast(probes), Seq("bucket"))
+    val candidates = index.join(broadcast(probes), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id").distinct()
+    val scored = candidates
+      .join(vectors, "id")
+      .join(broadcast(qn), "query_id")
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine_similarity(col("q_emb"), col("emb")).as("score"))
-      .groupBy("query_id", "neighbor_id").agg(max("score").as("score"))
     topK(scored, k)
   }
 
@@ -190,21 +209,33 @@ object Similarity {
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int = 5, nBits: Int = 8,
              nTables: Int = 4): DataFrame =
-    lshKnnIndexed(lshIndex(corpus, nBits, nTables), queries, k, nBits, nTables)
+    lshKnnIndexed(lshIndex(corpus, nBits, nTables), vectorTable(corpus),
+      queries, k, nBits, nTables)
 
   // ---------------------------------------------------------------- IVF --
 
   /** TRAIN phase: deterministic k-means centroids — Lloyd iterations on a
-    * fixed driver-side sample (smallest vec_ids via TakeOrdered, never a
-    * full sort). The returned model is tiny (nCells × dim floats); persist
-    * it with [[centroidsToDf]] next to the [[ivfIndex]] parquet.
+    * seeded UNIFORM driver-side sample. Uniformity matters: ordering by raw
+    * vec_id would train on the corpus's smallest ids — one corner of one
+    * partition — and on any corpus where id correlates with content (ingest
+    * order, shard, time) the coarse quantizer learns that corner only and
+    * nProbe recall collapses. Hashing the id first (`xxhash64`) makes the
+    * TakeOrdered a seeded uniform reservoir: every vector is equally likely
+    * to train, independent of id layout, and the sample is still
+    * deterministic across runs (same ids → same hashes → same sample), so a
+    * restarted build reproduces the same centroids. TakeOrdered, never a
+    * full sort. The returned model is tiny (nCells × dim floats); persist
+    * it with [[centroidsToDf]] next to the [[ivfIndex]] parquet. The
+    * reference makes the same whole-population move: its matcher compiles
+    * from the entire schema, not a biased corner
+    * (/root/reference/src/dfa/dfa.rs:250-413).
     */
   def ivfTrain(corpus: DataFrame, nCells: Int = 16, sampleSize: Int = 256,
                iterations: Int = 5): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sample = corpus.filter(col("embedding").isNotNull)
-      .orderBy(col("vec_id")).limit(sampleSize)
+      .orderBy(xxhash64(col("vec_id"), lit(41)), col("vec_id")).limit(sampleSize)
       .select("embedding").as[Array[Float]].collect()
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length

@@ -65,14 +65,20 @@ object TextAnalysis {
     * broken by language order (en, de, fr, es), 'und' (undetermined) when no
     * stopword hits. Deterministic; accuracy asserted against the generated
     * `lang` column in tests. Column-only implementation (no UDF): one
-    * aggregate over the words array per language.
+    * aggregate over the words array per language. The words array is
+    * hoisted into its own projection so the text is split exactly ONCE per
+    * row — round 3 repeated the split expression under each language filter
+    * and leaned on whole-stage-codegen subexpression elimination; the
+    * single-split shape is now structural (and plan-asserted in tests:
+    * CollapseProject keeps a non-cheap multi-referenced alias hoisted).
     */
   def langId(documents: DataFrame): DataFrame = {
-    val words = wordsCol(lower(col("text")))
+    val withWords = documents.select(col("doc_id"), col("lang").as("lang_true"),
+      wordsCol(lower(col("text"))).as("_words"))
     val scores = Seq("en", "de", "fr", "es").map { l =>
-      size(filter(words, w => w.isin(Stopwords(l): _*))).as(s"score_$l")
+      size(filter(col("_words"), w => w.isin(Stopwords(l): _*))).as(s"score_$l")
     }
-    val withScores = documents.select(col("doc_id") +: col("lang").as("lang_true") +: scores: _*)
+    val withScores = withWords.select(col("doc_id") +: col("lang_true") +: scores: _*)
     val best = Seq("en", "de", "fr", "es").foldLeft((lit("und"), lit(0))) {
       case ((bestLang, bestScore), l) =>
         val s = col(s"score_$l")

@@ -27,12 +27,22 @@ object Staging {
   /** A unique temp dir removed at JVM exit — for driver-style callers that
     * consume the staged frame within the process lifetime (Verify/Bench).
     * Long-running services should delete explicitly after the last action
-    * over the returned frame instead.
+    * over the returned frame instead. ONE shutdown hook drains a shared
+    * queue: registering a hook per dir would grow the JVM's hook list (and
+    * its identity map) without bound in a loop that stages repeatedly.
     */
   def tempDirDeletedOnExit(prefix: String): String = {
     val d = tempDir(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try deleteRecursively(d) catch { case _: Exception => () }))
+    exitDirs.add(d)
     d
   }
+
+  private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var d = exitDirs.poll()
+    while (d != null) {
+      try deleteRecursively(d) catch { case _: Exception => () }
+      d = exitDirs.poll()
+    }
+  }))
 }

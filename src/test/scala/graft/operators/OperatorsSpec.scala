@@ -90,6 +90,48 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.pipeline.Staging.deleteRecursively(stage)
   }
 
+  test("dedup auto-staging: fires above the conf'd corpus size, stays lazy below, identical results") {
+    val lazyRef = Dedup.minhashPairs(docsDup, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    try {
+      // threshold 1 → every corpus auto-stages: the plan must read the
+      // managed temp parquet instead of recomputing the collapse per branch
+      spark.conf.set(Dedup.AutoStageMinDocsConf, "1")
+      // the executed plan's FileScan prints the scan location; the staged
+      // temp dir must appear there (the optimized plan elides paths)
+      val auto = Dedup.minhashPairs(docsDup, threshold = 0.8)
+      assert(auto.queryExecution.executedPlan.toString.contains("graft-autostage-minhash"))
+      assert(auto.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == lazyRef)
+      val autoSim = Dedup.simhashPairs(docsDup)
+      assert(autoSim.queryExecution.executedPlan.toString.contains("graft-autostage-simhash"))
+
+      // above-threshold corpus → no staging, plan unchanged
+      spark.conf.set(Dedup.AutoStageMinDocsConf, "1000000000")
+      val stillLazy = Dedup.minhashPairs(docsDup, threshold = 0.8)
+      assert(!stillLazy.queryExecution.executedPlan.toString.contains("graft-autostage"))
+
+      // conf off → not even the count probe's staging can fire
+      spark.conf.set(Dedup.AutoStageMinDocsConf, "1")
+      spark.conf.set(Dedup.AutoStageConf, "false")
+      val off = Dedup.minhashPairs(docsDup, threshold = 0.8)
+      assert(!off.queryExecution.executedPlan.toString.contains("graft-autostage"))
+    } finally {
+      spark.conf.unset(Dedup.AutoStageMinDocsConf)
+      spark.conf.unset(Dedup.AutoStageConf)
+    }
+  }
+
+  test("dedup staging refuses a non-empty directory (an earlier frame may still read it)") {
+    val stage = graft.pipeline.Staging.tempDir("graft-stage-refuse")
+    try {
+      Dedup.minhashPairs(docsDup, threshold = 0.8, stagingDir = Some(stage)).count()
+      val e = intercept[IllegalArgumentException] {
+        Dedup.minhashPairs(docsDup, threshold = 0.8, stagingDir = Some(stage))
+      }
+      assert(e.getMessage.contains("non-empty"))
+    } finally graft.pipeline.Staging.deleteRecursively(stage)
+  }
+
   test("simhash: identical texts→same sig; near texts→small hamming; pairs are verified") {
     assert(SimHash64.compute("the quick brown fox") == SimHash64.compute("the quick brown fox"))
     assert(SimHash64.compute("The Quick  brown fox") == SimHash64.compute("the quick brown fox"))
@@ -174,6 +216,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("IVF training sample is uniform: recall holds on a cluster-correlated id layout") {
+    // contiguous id blocks per cluster — the layout that exposed round 3's
+    // biased trainer (smallest 256 ids = one cluster ⇒ centroids learn a
+    // corner, recall collapses). With the seeded hash-ordered uniform
+    // sample, every cluster is represented and recall stays high.
+    import spark.implicits._
+    val n = 2000L
+    val corr = spark.range(n).map(id => (id, graft.AnnScaleBench.vecCorrelated(id, n, 16, 8)))
+      .toDF("vec_id", "embedding")
+    val q = corr.filter(col("vec_id") % 250 === 0) // one probe per cluster block
+    val brute = Similarity.bruteForceKnn(corr, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cs = Similarity.ivfTrain(corr, nCells = 8)
+    val got = Similarity.ivfKnnIndexed(Similarity.ivfIndex(corr, cs), cs, q, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall on cluster-correlated ids = $recall")
+  }
+
   test("IVF knn: deterministic, high recall with nProbe=6/16 cells") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceKnn(emb, queries, k = 5).collect()
@@ -195,8 +256,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
 
       Similarity.lshIndex(emb, nBits = 4).write.parquet(s"$stage/lsh")
+      Similarity.vectorTable(emb).write.parquet(s"$stage/vectors")
+      // the staged bucket index is slim: no embedding column rides along
+      assert(spark.read.parquet(s"$stage/lsh").columns.toSet == Set("bucket", "id", "dim"))
       val lshStaged = rows(Similarity.lshKnnIndexed(
-        spark.read.parquet(s"$stage/lsh"), q, k = 5, nBits = 4))
+        spark.read.parquet(s"$stage/lsh"), spark.read.parquet(s"$stage/vectors"),
+        q, k = 5, nBits = 4))
       assert(lshStaged == rows(Similarity.lshKnn(emb, q, k = 5, nBits = 4)))
       assert(lshStaged.nonEmpty)
 
@@ -288,6 +353,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(cos(0) - (3.0 * 4 + 4 * 3 + 1 * 2) / (5.0990195135927845 * math.sqrt(29))) < 1e-12)
       assert(cos(1) == 0.0)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("language id splits the text exactly once (hoisted words array survives optimization)") {
+    // round 3 repeated split() under each of the 4 language filters and
+    // relied on codegen subexpression elimination; the hoisted projection
+    // must survive CollapseProject (non-cheap alias referenced 4×)
+    val plan = TextAnalysis.langId(docs).queryExecution.optimizedPlan
+    val nSplits = plan.collect { case p =>
+      p.expressions.map(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.StringSplit => s
+      }.size).sum
+    }.sum
+    assert(nSplits == 1, s"expected exactly one split() in the optimized plan, got $nSplits")
   }
 
   test("language id predicts mostly en/und on the english-vocab corpus; deterministic") {
