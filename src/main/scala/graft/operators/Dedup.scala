@@ -465,6 +465,32 @@ object Dedup {
       .toDF("doc_id", "rep_id")
   }
 
+  /** Exact character-k-shingle Jaccard pairs, blocked by `source` to bound
+    * the pair space — the TRUTH SET the d9/d10 driver gates measure the
+    * MinHash/SimHash scale paths against. This is the similarity MinHash
+    * approximates (same [[shingleHashes]] normalization and shingling), it
+    * is labeled O(n²)-within-block (oracle twin, never a scale path), and
+    * its semantics are plain list algebra, so DuckDB recomputes it exactly
+    * from the text — which finally puts the two heaviest dedup operators on
+    * the driver's hard correctness signal instead of rows-only checks.
+    */
+  def shingleJaccardPairs(documents: DataFrame, k: Int = 5,
+                          threshold: Double = 0.8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sh = documents.select("doc_id", "source", "text").as[(Long, String, String)]
+      .map { case (id, src, t) => (id, src, shingleHashes(t, k)) }
+      .toDF("doc_id", "source", "sh")
+    val a = sh.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+      .as[(String, Long, Array[Long], Long, Array[Long])]
+      .map { case (_, ia, sa, ib, sb) => (ia, ib, exactJaccard(sa, sb)) }
+      .toDF("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Word n-gram Jaccard similarity, blocked by `source` to bound the pair
     * space (exact within blocks — the brute-force comparison baseline, and
     * the one dedup operator simple enough for a full DuckDB oracle).

@@ -70,6 +70,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty, "test corpus must contain near-duplicates")
   }
 
+  test("shingle-jaccard truth pairs (d9/d10 gate input) match a driver-side recompute") {
+    val got = Dedup.shingleJaccardPairs(docsDup).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = docsDup.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = (for {
+      i <- all.indices.iterator
+      j <- (i + 1) until all.length
+      if all(i)._2 == all(j)._2
+      jac = Dedup.exactJaccard(Dedup.shingleHashes(all(i)._3), Dedup.shingleHashes(all(j)._3))
+      if jac >= 0.8
+    } yield (math.min(all(i)._1, all(j)._1), math.max(all(i)._1, all(j)._1),
+        BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // the shipped minhash plan must find every truth pair at this scale
+    val mh = Dedup.minhashPairs(docsDup, threshold = 0.8).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.forall { case (a, b, _) => mh.contains((a, b)) })
+  }
+
   test("minhash staged collapse (the shipped d3 path) returns identical pairs to the lazy plan") {
     val stage = graft.pipeline.Staging.tempDir("graft-d3-test")
     try {
