@@ -103,6 +103,28 @@ object SparkEntry {
     stagedQueryCache.computeIfAbsent(
       s"$name:$sfDir:${System.identityHashCode(spark)}", _ => build)
 
+  /** l1 fixture: a deterministic synthetic hive-style .log file
+    * (LogSplitBench.writeLog content — multi-line events, ERROR lines)
+    * sized per sf dir, generated once into /tmp via an atomic move so
+    * concurrent processes can share it. Both the l1 query (split path) and
+    * Verify's oracle staging (wholetext path) parse THIS file.
+    */
+  private val l1Gen = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private[graft] def l1LogPath(dir: String): String = {
+    val mb = if (dir.contains("0.1")) 16 else if (dir.contains("0.01")) 4 else 1
+    l1Gen.computeIfAbsent(mb, { _ =>
+      val p = java.nio.file.Paths.get(s"/tmp/graft-l1-$mb.log")
+      if (!java.nio.file.Files.exists(p)) {
+        val tmp = java.nio.file.Paths.get(
+          s"/tmp/graft-l1-$mb.log.tmp-${ProcessHandle.current().pid()}")
+        LogSplitBench.writeLog(tmp, mb)
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      p.toString
+    })
+  }
+
   /** The SHIPPED staged minhash/simhash pair plans — shared by the d3/d4
     * raw-pair queries, the d9/d10 recall gates, and the d11 end-to-end
     * pipeline query, so the gates grade exactly the plan users run.
@@ -465,6 +487,23 @@ object SparkEntry {
       Multimodal.decodeVerify(Multimodal.generateAssets(s, n)).orderBy("media_type")
     }),
 
+    // ---- raw .log source (R1's within-file split path, driver-checked) ----
+    // the PERSISTED chunk-index contract end to end: chunkIndex -> parquet
+    // -> read back -> eventsFromIndex, on a file spanning many chunks. The
+    // oracle reads the WHOLETEXT events() output Verify staged from the
+    // same file — split-path ≡ whole-path including global event indices,
+    // line numbers and exact text bytes (crc).
+    "l1_log_events" -> ((s, dir) =>
+      cachedStagedQuery("l1", s, dir) {
+        import s.implicits._
+        val bank = graft.pipeline.Parse.broadcastBank(s, PatternBank.example)
+        val d = graft.pipeline.Staging.tempDirDeletedOnExit("graft-l1-index")
+        graft.sources.LogFiles.chunkIndex(s, l1LogPath(dir), bank, chunkBytes = 256L << 10)
+          .write.mode("overwrite").parquet(s"$d/chunks")
+        val idx = s.read.parquet(s"$d/chunks").as[graft.sources.LogFiles.ChunkMeta]
+        graft.sources.LogFiles.eventStats(graft.sources.LogFiles.eventsFromIndex(s, idx, bank))
+      }.orderBy("event_idx")),
+
     // ---- transcript pipeline (the north-rule surface; oracles live in the
     //      ScalaTest suites — naive per-row recompute + exceptAll) ----
     "p1_route_counts" -> ((s, dir) =>
@@ -706,6 +745,12 @@ object SparkEntry {
     // parquet ({STAGED} is substituted with the absolute path at dump time):
     // the queries run the native-expression path, the oracle re-aggregates
     // the independently-implemented typed path in DuckDB.
+    // l1 oracle: the wholetext-path event stats Verify stages from the same
+    // deterministic log file ({STAGED} substituted at dump time)
+    "l1_log_events" ->
+      """SELECT event_idx, line_start, line_end, has_timestamp, first_ts, n_tokens,
+        |n_errors, error_signature, category, n_chars, text_crc
+        |FROM read_parquet('{STAGED}/logevents/*.parquet') ORDER BY event_idx""".stripMargin,
     "p1_route_counts" ->
       """SELECT category, count(*) AS n_turns FROM read_parquet('{STAGED}/parsed/*.parquet')
         |GROUP BY 1 ORDER BY 1""".stripMargin,

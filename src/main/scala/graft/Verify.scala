@@ -31,6 +31,10 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] staging failed (p* oracles will miss): ${e.getMessage}")
     }
+    try stageLogEvents(spark, sfDir, stagedDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] log staging failed (l1 oracle will miss): ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -104,6 +108,18 @@ object Verify {
       s"('$mt', CAST($c AS BIGINT), CAST(${r(sn / c, 4)} AS DOUBLE), " +
         s"CAST(${r(sw / c, 2)} AS DOUBLE), CAST($sf AS BIGINT))"
     }.mkString(", ")
+  }
+
+  /** Stage the WHOLETEXT-path event stats of the deterministic l1 log file:
+    * the independent twin of the l1 query's split path (single-task
+    * wholetext + tokenize, no chunk scan / boundary repair / region
+    * offsets), re-read by the l1 oracle SQL in DuckDB.
+    */
+  def stageLogEvents(spark: SparkSession, sfDir: String, stagedDir: String): Unit = {
+    val bank = Parse.broadcastBank(spark, PatternBank.example)
+    graft.sources.LogFiles.eventStats(
+        graft.sources.LogFiles.events(spark, SparkEntry.l1LogPath(sfDir), bank))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stagedDir/logevents")
   }
 
   /** Materialize the typed (mapPartitions) parse of the same synthetic

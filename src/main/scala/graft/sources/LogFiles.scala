@@ -40,6 +40,19 @@ object LogFiles {
       text: String
   )
 
+  /** [[LogEvent]] plus its token array — the reference exposes an event's
+    * tokens for per-event variable extraction
+    * (/root/reference/src/log_parser/log_parser.rs:106-134:
+    * `get_timestamp_token`, `get_log_message_tokens`); without them a
+    * downstream extractor would have to re-tokenize the event text. Nested
+    * on purpose: `select($"event.*", $"tokens")` flattens when wanted, and
+    * [[events]] consumers that don't need tokens never pay for the array.
+    * Token rows reuse the pipeline's schema (token_type, schema_id, value,
+    * line_num); line_num is 1-based within the parsed text (file-local on
+    * this wholetext path), exactly what [[eventsOf]]'s tokenize emitted.
+    */
+  final case class LogEventWithTokens(event: LogEvent, tokens: Seq[graft.pipeline.TokenRow])
+
   /** Parse every file matching `pathGlob` into events. */
   def events(spark: SparkSession, pathGlob: String,
              bank: Broadcast[PatternBank]): Dataset[LogEvent] = {
@@ -48,6 +61,16 @@ object LogFiles {
       .select(input_file_name().as("file"), col("value"))
       .as[(String, String)]
       .flatMap { case (file, content) => eventsOf(file, content, bank.value) }
+  }
+
+  /** [[events]] with the per-event token array attached. */
+  def eventsWithTokens(spark: SparkSession, pathGlob: String,
+                       bank: Broadcast[PatternBank]): Dataset[LogEventWithTokens] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(pathGlob)
+      .select(input_file_name().as("file"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (file, content) => eventsWithTokensOf(file, content, bank.value) }
   }
 
   // ------------------------------------------------------------------ //
@@ -294,14 +317,27 @@ object LogFiles {
     * event would make dense-error files O(events × file_tokens), and could
     * pick up a neighboring event sharing the boundary line).
     */
-  def eventsOf(file: String, content: String, bank: PatternBank): Iterator[LogEvent] = {
+  def eventsOf(file: String, content: String, bank: PatternBank): Iterator[LogEvent] =
+    eventSlices(file, content, bank).map(_._1)
+
+  /** [[eventsOf]] keeping each event's token slice attached. */
+  def eventsWithTokensOf(file: String, content: String,
+                         bank: PatternBank): Iterator[LogEventWithTokens] =
+    eventSlices(file, content, bank).map { case (ev, toks) =>
+      LogEventWithTokens(ev, toks.iterator
+        .map(t => graft.pipeline.TokenRow(t.tokenType, t.schemaId, t.value, t.lineNum))
+        .toVector)
+    }
+
+  private def eventSlices(file: String, content: String, bank: PatternBank)
+      : Iterator[(LogEvent, collection.IndexedSeq[graft.lexer.Token])] = {
     val toks = Tokenizer.tokenize(bank, content)
     Tokenizer.assembleEvents(toks).iterator.zipWithIndex.map { case (span, idx) =>
       val eventToks = toks.slice(span.tokenStart, span.tokenEnd)
       val scan = Parse.scanTokens(bank, eventToks)
       val sb = new java.lang.StringBuilder(128)
       eventToks.foreach(t => sb.append(t.value))
-      LogEvent(
+      (LogEvent(
         file = file,
         event_idx = idx,
         line_start = span.lineStart,
@@ -316,7 +352,19 @@ object LogFiles {
           else Parse.signatureOfLine(bank, eventToks, scan.firstErrorLine),
         category = if (scan.nErrors > 0) Category.Errors else Category.Unmatched,
         text = sb.toString
-      )
+      ), eventToks)
     }
   }
+
+  /** The slim per-event projection shared by the l1 driver query (split
+    * path via a persisted chunk index) and its oracle staging (wholetext
+    * path): enough columns to pin boundaries, numbering, extraction and the
+    * exact text bytes (crc), without shipping the text itself.
+    */
+  def eventStats(events: Dataset[LogEvent]): org.apache.spark.sql.DataFrame =
+    events.toDF().select(
+      col("event_idx"), col("line_start"), col("line_end"), col("has_timestamp"),
+      col("first_ts"), col("n_tokens"), col("n_errors"), col("error_signature"),
+      col("category"), length(col("text")).cast("bigint").as("n_chars"),
+      crc32(col("text").cast("binary")).as("text_crc"))
 }

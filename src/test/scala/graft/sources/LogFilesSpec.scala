@@ -58,6 +58,28 @@ class LogFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.first_ts != null && first.ts_extracted != null)
   }
 
+  test("eventsWithTokens: per-event token arrays round-trip to the event text on both fixtures") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-logs-tok")
+    java.nio.file.Files.writeString(dir.resolve("hive-24h.log"), resource("hive-24h.log"))
+    java.nio.file.Files.writeString(dir.resolve("hive-24h_large.log"), resource("hive-24h_large.log"))
+    val bank = spark.sparkContext.broadcast(PatternBank.example)
+    val evts = LogFiles.eventsWithTokens(spark, s"$dir/*.log", bank).collect()
+    assert(evts.nonEmpty)
+    evts.foreach { e =>
+      // losslessness per event: the exposed tokens ARE the event's bytes
+      assert(e.tokens.map(_.value).mkString == e.event.text)
+      assert(e.tokens.length == e.event.n_tokens)
+      // a timestamped event leads with its Timestamp token (the reference's
+      // get_timestamp_token accessor contract, log_parser.rs:106-134)
+      if (e.event.has_timestamp)
+        assert(e.tokens.head.token_type == graft.lexer.TokenType.Timestamp)
+    }
+    // the attached-events view is byte-identical to the plain events() view
+    val plain = LogFiles.events(spark, s"$dir/*.log", bank).collect()
+      .map(_.toString).sorted.toSeq
+    assert(evts.map(_.event.toString).sorted.toSeq == plain)
+  }
+
   test("within-file split: chunked parse equals the single-task parse on a multi-MB log") {
     val dir = java.nio.file.Files.createTempDirectory("graft-split")
     val large = resource("hive-24h_large.log")
