@@ -38,12 +38,19 @@ object Bench {
     (total, res.routeSecs, total / res.routeSecs)
   }
 
-  // queries worth timing per-round: the relational/agg/window engine slice,
-  // each dedup/similarity/text family, and the transcript pipeline slice
+  // queries timed per-round: EVERY operator family is represented so a
+  // regression in any of them is visible between rounds (round 3's s2
+  // regression was only caught because s2 was benched). d9/d10/d11 share
+  // d3/d4's memoized staged frames, so their rows mostly time the gate's
+  // own truth-set + join work — the marginal cost of gating, not a rebuild.
   val HeadlineQueries: Seq[String] = Seq(
     "q1_agg", "q3_join_agg", "q5_window", "q10_events_hourly", "q11_sessionize",
+    "q13_rollup", "q18_count_distinct",
     "d1_exact_dedup", "d3_minhash_pairs", "d4_simhash_pairs", "d6_embedding_neardup",
-    "s1_knn_brute", "s2_knn_lsh", "t1_quality", "t3_langid", "t5_char_entropy",
+    "d8_dedup_clusters", "d9_minhash_recall", "d10_simhash_recall", "d11_dedup_pipeline",
+    "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s5_ivf_recall",
+    "t1_quality", "t3_langid", "t4_fingerprint", "t5_char_entropy", "t6_redact",
+    "m1_multimodal_features", "l1_log_events",
     "p1_route_counts", "p2_token_stats", "p4_conv_stats", "p5_error_signatures")
 
   def main(args: Array[String]): Unit = {

@@ -82,7 +82,7 @@ object SparkEntry {
     */
   private def dedupRecall(s: SparkSession, dir: String, approx: DataFrame,
                           minRecall: Double): DataFrame = {
-    val truth = Dedup.shingleJaccardPairs(docsWithDups(s, dir)).select("id_a", "id_b")
+    val truth = truthPairs(s, dir)
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val hits = approx.select("id_a", "id_b").join(truth, Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("hits"))
@@ -139,6 +139,18 @@ object SparkEntry {
     cachedStagedQuery("d4", s, dir) {
       Dedup.simhashPairs(docsWithDups(s, dir), maxHamming = 3,
         stagingDir = Some(graft.pipeline.Staging.tempDirDeletedOnExit("graft-d4-stage")))
+    }
+
+  /** The d9/d10/d11 truth set, computed ONCE per (sf dir, session) and
+    * staged to parquet: three gates share one O(n²)-within-block truth job
+    * instead of re-deriving it per query (measured ~5 s each at sf0.1).
+    */
+  private def truthPairs(s: SparkSession, dir: String): DataFrame =
+    cachedStagedQuery("truth", s, dir) {
+      val d = graft.pipeline.Staging.tempDirDeletedOnExit("graft-truth")
+      Dedup.shingleJaccardPairs(docsWithDups(s, dir)).select("id_a", "id_b")
+        .write.mode("overwrite").parquet(s"$d/truth")
+      s.read.parquet(s"$d/truth")
     }
 
   /** LSH kNN through a parquet-staged index (build once per corpus →
@@ -383,7 +395,7 @@ object SparkEntry {
     // recall, so the 0.95 bound d9 meets transfers).
     "d11_dedup_pipeline" -> ((s, dir) => {
       val cl = Dedup.clusters(d3Pairs(s, dir))
-      val truth = Dedup.shingleJaccardPairs(docsWithDups(s, dir)).select("id_a", "id_b")
+      val truth = truthPairs(s, dir)
       truth
         .join(cl.select(col("doc_id").as("id_a"), col("rep_id").as("rep_a")), Seq("id_a"), "left")
         .join(cl.select(col("doc_id").as("id_b"), col("rep_id").as("rep_b")), Seq("id_b"), "left")
