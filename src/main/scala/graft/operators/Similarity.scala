@@ -195,8 +195,15 @@ object Similarity {
     val candidates = index.join(broadcast(probes), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .select("query_id", "id").distinct()
-    val scored = candidates
-      .join(vectors, "id")
+    // candidates are BROADCAST into the vector join: they are bounded by
+    // (query batch × nTables × probe width × bucket cap) — the kNN contract
+    // is a bounded query batch against a huge corpus (the brute path
+    // broadcasts the query side for the same reason) — while `vectors` is
+    // corpus-sized. Leaving this to AQE shuffled the single-copy vector
+    // table on id (measured 360 MB at 1 M × 64 for a 100-query batch);
+    // broadcasting the ~candidate-list keeps the corpus side map-local.
+    val scored = vectors
+      .join(broadcast(candidates), "id")
       .join(broadcast(qn), "query_id")
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine_similarity(col("q_emb"), col("emb")).as("score"))
