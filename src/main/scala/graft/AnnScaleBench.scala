@@ -116,6 +116,32 @@ object AnnScaleBench {
         println(f"[ann-scale] staged recall@10=$recallStaged%.3f")
       } finally graft.pipeline.Staging.deleteRecursively(stage)
 
+      // IVF-PQ: the compressed-index path — the scan side holds nSub+4 bytes
+      // per vector instead of 4·dim, and the only exchange after the ADC
+      // scan carries the bounded candidate list. Index bytes reported so the
+      // compression vs the raw-vector IVF index is visible; recall after
+      // exact re-rank should match raw IVF's at the same nProbe.
+      val stagePq = graft.pipeline.Staging.tempDir("graft-pq-index")
+      try {
+        val t0 = System.nanoTime()
+        val csU = Similarity.ivfTrain(emb, nCells = 64)
+        val pq = Similarity.pqTrain(emb, nSub = 8, k = 256)
+        Similarity.ivfPqIndex(emb, csU, pq).write.parquet(s"$stagePq/ivfpq")
+        Similarity.ivfIndex(emb, csU).write.parquet(s"$stagePq/ivf")
+        println(f"[ann-scale] ivfpq-index-build wall=${(System.nanoTime() - t0) / 1e9}%.1fs " +
+          f"pqIndex=${dirBytes(s"$stagePq/ivfpq") / 1e6}%.1fMB " +
+          f"rawIvfIndex=${dirBytes(s"$stagePq/ivf") / 1e6}%.1fMB")
+        val pqStaged = run("ivfpq-query-staged")(Similarity.ivfPqKnnIndexed(
+          spark.read.parquet(s"$stagePq/ivfpq"), csU, pq,
+          Similarity.vectorTable(emb), queries, k = 10, nProbe = 8, rerank = 8))
+        val recallPq = pqStaged.intersect(brute).size.toDouble / brute.size
+        println(f"[ann-scale] ivfpq recall@10=$recallPq%.3f")
+        val rawStaged = run("ivf-query-staged")(Similarity.ivfKnnIndexed(
+          spark.read.parquet(s"$stagePq/ivf"), csU, queries, k = 10, nProbe = 8))
+        val recallRaw = rawStaged.intersect(brute).size.toDouble / brute.size
+        println(f"[ann-scale] ivf-raw recall@10=$recallRaw%.3f")
+      } finally graft.pipeline.Staging.deleteRecursively(stagePq)
+
       // IVF on a cluster-correlated id layout: the case a biased training
       // sample (smallest ids = one cluster) fails. uniform = ivfTrain's
       // seeded hash-ordered sample over the whole corpus; biased = the same

@@ -48,7 +48,7 @@ object Bench {
     "q13_rollup", "q18_count_distinct",
     "d1_exact_dedup", "d3_minhash_pairs", "d4_simhash_pairs", "d6_embedding_neardup",
     "d8_dedup_clusters", "d9_minhash_recall", "d10_simhash_recall", "d11_dedup_pipeline",
-    "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s5_ivf_recall",
+    "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s5_ivf_recall", "s6_knn_ivfpq", "s7_ivfpq_recall",
     "t1_quality", "t3_langid", "t4_fingerprint", "t5_char_entropy", "t6_redact",
     "m1_multimodal_features", "l1_log_events",
     "p1_route_counts", "p2_token_stats", "p4_conv_stats", "p5_error_signatures")

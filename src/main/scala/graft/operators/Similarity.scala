@@ -331,4 +331,238 @@ object Similarity {
     df.select("cell", "centroid").collect()
       .sortBy(_.getInt(0))
       .map(_.getSeq[Float](1).toArray)
+
+  // ------------------------------------------------------------- IVF-PQ --
+
+  /** Product-quantization model: `nSub` sub-codebooks of `k` centroids over
+    * contiguous `dim/nSub`-wide subspaces. A vector's code is one byte per
+    * subspace (the index of the nearest sub-centroid), so the scannable ANN
+    * index stores `nSub + 4` bytes per vector instead of `4·dim` — 64-dim
+    * floats compress 256 B → 12 B at the default nSub=8. At 100 TB the PQ
+    * index is what executors actually scan per query batch; the raw vectors
+    * exist once (in [[vectorTable]]) and are touched only by the final
+    * exact re-rank over the bounded candidate list.
+    */
+  final case class PqModel(codebooks: Array[Array[Array[Float]]]) extends Serializable {
+    def nSub: Int = codebooks.length
+    def k: Int = codebooks(0).length
+    def subDim: Int = codebooks(0)(0).length
+    def dim: Int = nSub * subDim
+  }
+
+  /** Index of the L2-nearest centroid to v[off, off+subDim). */
+  private def nearestL2(v: Array[Float], off: Int, cs: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cc = cs(c); var d = 0.0; var i = 0
+      val lim = math.min(cc.length, v.length - off)
+      while (i < lim) { val t = v(off + i) - cc(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic Lloyd under L2 (subspace vectors are unnormalized —
+    * cosine is only meaningful for the full vector, so the sub-codebooks
+    * quantize raw subvectors and the ADC scorer reassembles inner products).
+    */
+  private def lloydL2(sample: Array[Array[Float]], k: Int, iterations: Int): Array[Array[Float]] = {
+    val subDim = sample.head.length
+    val kk = math.min(k, sample.length)
+    var centroids = Array.tabulate(kk)(c => sample((c.toLong * sample.length / kk).toInt).clone())
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](subDim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestL2(v, 0, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < subDim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(subDim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** TRAIN phase: per-subspace codebooks from the same seeded hash-ordered
+    * uniform sample [[ivfTrain]] uses (different seed so the two samples are
+    * independent draws). k ≤ 256 so a code fits one byte.
+    */
+  def pqTrain(corpus: DataFrame, nSub: Int = 8, k: Int = 16,
+              sampleSize: Int = 256, iterations: Int = 5): PqModel = {
+    require(k <= 256, s"PQ code must fit one byte: k=$k > 256")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.filter(col("embedding").isNotNull)
+      .orderBy(xxhash64(col("vec_id"), lit(43)), col("vec_id")).limit(sampleSize)
+      .select("embedding").as[Array[Float]].collect()
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % nSub == 0, s"embedding dim $dim not divisible by nSub=$nSub")
+    val subDim = dim / nSub
+    PqModel(Array.tabulate(nSub) { m =>
+      lloydL2(sample.map(v => java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim)),
+        k, iterations)
+    })
+  }
+
+  private[operators] def pqEncode(v: Array[Float], pq: PqModel): Array[Byte] = {
+    val codes = new Array[Byte](pq.nSub)
+    var m = 0
+    while (m < pq.nSub) { codes(m) = nearestL2(v, m * pq.subDim, pq.codebooks(m)).toByte; m += 1 }
+    codes
+  }
+
+  private def l2norm(v: Array[Float]): Float = {
+    var ss = 0.0; var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i); i += 1 }
+    math.sqrt(ss).toFloat
+  }
+
+  /** Per-query ADC lookup table: lut(m·k + j) = <q_m, c_{m,j}>. Built once
+    * per (partition, query) and amortized across every candidate row the
+    * partition scores — each row then costs nSub lookups + adds instead of
+    * dim multiplies.
+    */
+  private def adcLut(q: Array[Float], p: PqModel): Array[Float] = {
+    val lut = new Array[Float](p.nSub * p.k)
+    var m = 0
+    while (m < p.nSub) {
+      val book = p.codebooks(m); val off = m * p.subDim
+      var j = 0
+      while (j < book.length) {
+        val c = book(j); var ip = 0.0; var i = 0
+        val lim = math.min(c.length, q.length - off)
+        while (i < lim) { ip += q(off + i).toDouble * c(i); i += 1 }
+        lut(m * p.k + j) = ip.toFloat
+        j += 1
+      }
+      m += 1
+    }
+    lut
+  }
+
+  /** BUILD phase: one pass assigning every vector to its coarse cell and
+    * product-quantizing it. Output (cell, id, codes BINARY(nSub), norm) is
+    * the parquet-persistable compressed inverted file; `norm` is the exact
+    * L2 norm so ADC can return approximate COSINE (approx <q,v> from codes,
+    * exact |q|·|v| from stored norms).
+    */
+  def ivfPqIndex(corpus: DataFrame, centroids: Array[Array[Float]], pq: PqModel): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcP = spark.sparkContext.broadcast(pq)
+    corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        (nearestCell(emb, bcC.value), id, pqEncode(emb, bcP.value), l2norm(emb)) }
+      .toDF("cell", "id", "codes", "norm")
+  }
+
+  /** QUERY phase against a prebuilt [[ivfPqIndex]]: probe the nProbe nearest
+    * cells, ADC-score every code row in them, keep the top `k·rerank`
+    * candidates per query, and exact-cosine re-rank those against the
+    * single-copy [[vectorTable]]. Two scale properties:
+    *
+    *  - the scan side reads only (cell, id, codes, norm) — `4·dim/(nSub+4)`×
+    *    fewer bytes than scanning raw vectors, with cell pruning on top;
+    *  - the candidate cut happens INSIDE the ADC pass (a bounded per-query
+    *    heap per partition, the map-side-combine shape), so the only
+    *    exchange carries ≤ partitions × queries × k·rerank slim rows, never
+    *    the probed cells' contents. The union of per-partition top-R sets
+    *    always contains the global top-R by (score desc, id asc), so the
+    *    final window cut is partition-count-invariant and deterministic.
+    */
+  def ivfPqKnnIndexed(index: DataFrame, centroids: Array[Array[Float]], pq: PqModel,
+                      vectors: DataFrame, queries: DataFrame,
+                      k: Int = 5, nProbe: Int = 4, rerank: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcP = spark.sparkContext.broadcast(pq)
+    val qn = queries.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = qn.as[(Long, Array[Float])]
+      .flatMap { case (qid, emb) =>
+        bcC.value.indices.map(c => (c, cos(emb, bcC.value(c))))
+          .sortBy(-_._2).take(nProbe)
+          .map { case (c, _) => (c, qid, emb) }
+      }.toDF("cell", "query_id", "q_emb")
+
+    val r = k * rerank
+    val joined = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("id"), col("codes"), col("norm"))
+      .as[(Long, Array[Float], Long, Array[Byte], Float)]
+    val approx = joined.mapPartitions { rows =>
+      val p = bcP.value
+      val luts = scala.collection.mutable.Map[Long, (Array[Float], Float)]()
+      // bounded per-query top-R heap; "head" (max per this ordering) is the
+      // WORST kept candidate: lowest score, largest id on ties — matching
+      // the (score desc, id asc) cut the downstream window applies
+      val ord = Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+      val heaps = scala.collection.mutable.Map[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]()
+      rows.foreach { case (qid, qEmb, id, codes, norm) =>
+        val (lut, qNorm) = luts.getOrElseUpdate(qid, (adcLut(qEmb, p), l2norm(qEmb)))
+        var ip = 0.0; var m = 0
+        while (m < p.nSub) { ip += lut(m * p.k + (codes(m) & 0xFF)); m += 1 }
+        val denom = qNorm.toDouble * norm
+        val s = if (denom == 0) 0.0 else ip / denom
+        val h = heaps.getOrElseUpdate(qid, scala.collection.mutable.PriorityQueue.empty(ord))
+        if (h.size < r) h.enqueue((s, id))
+        else {
+          val (ws, wid) = h.head
+          if (s > ws || (s == ws && id < wid)) { h.dequeue(); h.enqueue((s, id)) }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (s, id) => (qid, id, s) } }
+    }.toDF("query_id", "id", "approx")
+
+    val wA = Window.partitionBy("query_id").orderBy(col("approx").desc, col("id").asc)
+    val candidates = approx.withColumn("rr", row_number().over(wA))
+      .filter(col("rr") <= r).select("query_id", "id")
+    // bounded candidate list broadcast into the corpus-sized vector join,
+    // exactly like the LSH re-rank
+    val scored = vectors
+      .join(broadcast(candidates), "id")
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine_similarity(col("q_emb"), col("emb")).as("score"))
+    topK(scored, k)
+  }
+
+  /** One-shot convenience: train coarse + PQ, index, query in one call. */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+               nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8, kCodes: Int = 16,
+               rerank: Int = 8): DataFrame = {
+    val cs = ivfTrain(corpus, nCells)
+    val pq = pqTrain(corpus, nSub, kCodes)
+    ivfPqKnnIndexed(ivfPqIndex(corpus, cs, pq), cs, pq, vectorTable(corpus),
+      queries, k, nProbe, rerank)
+  }
+
+  /** PQ model ↔ DataFrame converters (parquet-persistable next to the
+    * index + centroids, same lifecycle as [[centroidsToDf]]).
+    */
+  def pqModelToDf(spark: SparkSession, pq: PqModel): DataFrame = {
+    import spark.implicits._
+    (for { m <- pq.codebooks.indices; j <- pq.codebooks(m).indices }
+      yield (m, j, pq.codebooks(m)(j))).toDF("sub", "code", "centroid")
+  }
+
+  def pqModelFromDf(df: DataFrame): PqModel = {
+    val rows = df.select("sub", "code", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val nSub = rows.iterator.map(_._1).max + 1
+    PqModel(Array.tabulate(nSub)(m => rows.filter(_._1 == m).sortBy(_._2).map(_._3)))
+  }
 }

@@ -298,6 +298,72 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.pipeline.Staging.deleteRecursively(stage)
   }
 
+  test("IVF-PQ: codes are one byte per subspace, ADC recall high, deterministic") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceKnn(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTrain(emb, nSub = 8, k = 16)
+    assert(pq.nSub == 8 && pq.k == 16 && pq.dim == 64)
+    // every code byte indexes a real sub-centroid
+    val cs = Similarity.ivfTrain(emb, nCells = 16)
+    val idx = Similarity.ivfPqIndex(emb, cs, pq)
+    assert(idx.columns.toSet == Set("cell", "id", "codes", "norm"))
+    val badCodes = idx.collect().count { r =>
+      val codes = r.getAs[Array[Byte]]("codes")
+      codes.length != 8 || codes.exists(b => (b & 0xFF) >= 16)
+    }
+    assert(badCodes == 0)
+    val got1 = Similarity.ivfPqKnn(emb, queries, k = 5, nCells = 16, nProbe = 6, rerank = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got2 = Similarity.ivfPqKnn(emb, queries, k = 5, nCells = 16, nProbe = 6, rerank = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got1 == got2, "IVF-PQ knn must be deterministic")
+    val recall = got1.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF-PQ recall@5 = $recall")
+  }
+
+  test("IVF-PQ staged index: parquet round trip gives identical results to one-shot") {
+    val stage = graft.pipeline.Staging.tempDir("graft-pq-test")
+    try {
+      val q = emb.filter(col("vec_id") < 10)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val cs = Similarity.ivfTrain(emb, nCells = 16)
+      val pq = Similarity.pqTrain(emb, nSub = 8, k = 16)
+      Similarity.ivfPqIndex(emb, cs, pq).write.parquet(s"$stage/ivfpq")
+      Similarity.centroidsToDf(spark, cs).write.parquet(s"$stage/centroids")
+      Similarity.pqModelToDf(spark, pq).write.parquet(s"$stage/pqmodel")
+      Similarity.vectorTable(emb).write.parquet(s"$stage/vectors")
+      val pqBack = Similarity.pqModelFromDf(spark.read.parquet(s"$stage/pqmodel"))
+      assert(pqBack.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+        pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val staged = rows(Similarity.ivfPqKnnIndexed(
+        spark.read.parquet(s"$stage/ivfpq"),
+        Similarity.centroidsFromDf(spark.read.parquet(s"$stage/centroids")),
+        pqBack, spark.read.parquet(s"$stage/vectors"), q, k = 5, nProbe = 6))
+      assert(staged == rows(Similarity.ivfPqKnn(emb, q, k = 5, nCells = 16, nProbe = 6)))
+      assert(staged.nonEmpty)
+    } finally graft.pipeline.Staging.deleteRecursively(stage)
+  }
+
+  test("IVF-PQ candidate cut is partition-count-invariant (per-partition heaps + global window)") {
+    // the same query against the index repartitioned to 1 vs 13 partitions
+    // must produce identical top-k: the union of per-partition top-R heaps
+    // always contains the global top-R by (score desc, id asc)
+    val q = emb.filter(col("vec_id") < 10)
+    val cs = Similarity.ivfTrain(emb, nCells = 16)
+    val pq = Similarity.pqTrain(emb, nSub = 8, k = 16)
+    val idx = Similarity.ivfPqIndex(emb, cs, pq)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val one = rows(Similarity.ivfPqKnnIndexed(idx.repartition(1), cs, pq,
+      Similarity.vectorTable(emb), q, k = 5, nProbe = 6))
+    val many = rows(Similarity.ivfPqKnnIndexed(idx.repartition(13), cs, pq,
+      Similarity.vectorTable(emb), q, k = 5, nProbe = 6))
+    assert(one == many)
+    assert(one.nonEmpty)
+  }
+
   test("cosine_similarity expression: known values and null safety") {
     import spark.implicits._
     val df = Seq(
