@@ -118,28 +118,41 @@ object AnnScaleBench {
 
       // IVF-PQ: the compressed-index path — the scan side holds nSub+4 bytes
       // per vector instead of 4·dim, and the only exchange after the ADC
-      // scan carries the bounded candidate list. Index bytes reported so the
-      // compression vs the raw-vector IVF index is visible; recall after
-      // exact re-rank should match raw IVF's at the same nProbe.
+      // scan carries the bounded candidate list. Measured on a FINE-GRAINED
+      // corpus (65,536 clusters ≈ 15 members each): the regime where kNN is
+      // the right tool. The shared 256-cluster corpus above is DEGENERATE
+      // for quantized ranking — ~n/256 near-equidistant members per cluster
+      // put the true top-10's score margins far below any codebook's
+      // quantization error, so ADC finds the right cluster but the top-R
+      // cut inside it is effectively random (measured recall@10 = 0.016 ≈
+      // R / cluster-size at 1 M; raw-vector and residual codebooks alike).
+      // That corpus is the dedup regime (embeddingNearDupPairs), not the
+      // kNN regime; when near-dup clusters are expected, dedup first or
+      // widen rerank to cover the cluster.
+      val embFine = corpus(spark, n, dim, nClusters = 65536)
+        .repartition(math.max(16, cores * 2)).persist()
+      embFine.count()
+      val qFine = embFine.filter(col("vec_id") < nQueries)
+      val bruteFine = run("brute-fine")(Similarity.bruteForceKnn(embFine, qFine, k = 10))
       val stagePq = graft.pipeline.Staging.tempDir("graft-pq-index")
       try {
         val t0 = System.nanoTime()
-        val csU = Similarity.ivfTrain(emb, nCells = 64)
-        val pq = Similarity.pqTrain(emb, nSub = 8, k = 256)
-        Similarity.ivfPqIndex(emb, csU, pq).write.parquet(s"$stagePq/ivfpq")
-        Similarity.ivfIndex(emb, csU).write.parquet(s"$stagePq/ivf")
+        val csU = Similarity.ivfTrain(embFine, nCells = 64)
+        val pq = Similarity.pqTrain(embFine, csU, nSub = 8, k = 256, sampleSize = 2048)
+        Similarity.ivfPqIndex(embFine, csU, pq).write.parquet(s"$stagePq/ivfpq")
+        Similarity.ivfIndex(embFine, csU).write.parquet(s"$stagePq/ivf")
         println(f"[ann-scale] ivfpq-index-build wall=${(System.nanoTime() - t0) / 1e9}%.1fs " +
           f"pqIndex=${dirBytes(s"$stagePq/ivfpq") / 1e6}%.1fMB " +
           f"rawIvfIndex=${dirBytes(s"$stagePq/ivf") / 1e6}%.1fMB")
         val pqStaged = run("ivfpq-query-staged")(Similarity.ivfPqKnnIndexed(
           spark.read.parquet(s"$stagePq/ivfpq"), csU, pq,
-          Similarity.vectorTable(emb), queries, k = 10, nProbe = 8, rerank = 8))
-        val recallPq = pqStaged.intersect(brute).size.toDouble / brute.size
-        println(f"[ann-scale] ivfpq recall@10=$recallPq%.3f")
+          Similarity.vectorTable(embFine), qFine, k = 10, nProbe = 8, rerank = 8))
+        val recallPq = pqStaged.intersect(bruteFine).size.toDouble / bruteFine.size
+        println(f"[ann-scale] ivfpq recall@10=$recallPq%.3f (fine-grained corpus)")
         val rawStaged = run("ivf-query-staged")(Similarity.ivfKnnIndexed(
-          spark.read.parquet(s"$stagePq/ivf"), csU, queries, k = 10, nProbe = 8))
-        val recallRaw = rawStaged.intersect(brute).size.toDouble / brute.size
-        println(f"[ann-scale] ivf-raw recall@10=$recallRaw%.3f")
+          spark.read.parquet(s"$stagePq/ivf"), csU, qFine, k = 10, nProbe = 8))
+        val recallRaw = rawStaged.intersect(bruteFine).size.toDouble / bruteFine.size
+        println(f"[ann-scale] ivf-raw recall@10=$recallRaw%.3f (fine-grained corpus)")
       } finally graft.pipeline.Staging.deleteRecursively(stagePq)
 
       // IVF on a cluster-correlated id layout: the case a biased training

@@ -45,7 +45,7 @@ object Bench {
   // own truth-set + join work — the marginal cost of gating, not a rebuild.
   val HeadlineQueries: Seq[String] = Seq(
     "q1_agg", "q3_join_agg", "q5_window", "q10_events_hourly", "q11_sessionize",
-    "q13_rollup", "q18_count_distinct",
+    "q13_rollup", "q18_count_distinct", "q19_approx_distinct",
     "d1_exact_dedup", "d3_minhash_pairs", "d4_simhash_pairs", "d6_embedding_neardup",
     "d8_dedup_clusters", "d9_minhash_recall", "d10_simhash_recall", "d11_dedup_pipeline",
     "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s5_ivf_recall", "s6_knn_ivfpq", "s7_ivfpq_recall",

@@ -192,7 +192,7 @@ object SparkEntry {
   private def stagedIvfPqKnn(emb: DataFrame, q: DataFrame): DataFrame = {
     val dir = cachedIndexDir("ivfpq", emb) { d =>
       val cs = Similarity.ivfTrain(emb, nCells = 16)
-      val pq = Similarity.pqTrain(emb, nSub = 16, k = 16)
+      val pq = Similarity.pqTrain(emb, cs, nSub = 16, k = 16)
       Similarity.ivfPqIndex(emb, cs, pq).write.parquet(s"$d/ivfpq")
       Similarity.centroidsToDf(emb.sparkSession, cs).write.parquet(s"$d/centroids")
       Similarity.pqModelToDf(emb.sparkSession, pq).write.parquet(s"$d/pqmodel")
@@ -323,6 +323,18 @@ object SparkEntry {
           countDistinct("l_suppkey").as("n_supps"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
+    }),
+    // sketch-based distinct: HyperLogLog++ with a pinned relative-error
+    // gate — at 100 TB an exact distinct shuffles every key while the
+    // sketch is O(1) memory per partition and merges map-side; the gate
+    // pins the sketch within 5% of the exact count (rsd configured 2%),
+    // and the exact side doubles as the DuckDB-checkable anchor
+    "q19_approx_distinct" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+        .select(col("n_exact"),
+          (abs(col("n_approx").cast("double") / col("n_exact") - 1.0) <= 0.05).as("err_pass"))
     }),
     "q16_except" -> ((s, dir) => {
       tbl(s, dir, "lineitem").select(col("l_partkey").as("k"))
@@ -620,6 +632,8 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_approx_distinct" ->
+      "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, true AS err_pass FROM events",
     "q16_except" ->
       """SELECT count(*) AS n FROM
         |((SELECT l_partkey FROM lineitem) EXCEPT (SELECT p_partkey FROM part WHERE p_size > 40))""".stripMargin,

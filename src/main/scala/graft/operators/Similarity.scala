@@ -335,13 +335,27 @@ object Similarity {
   // ------------------------------------------------------------- IVF-PQ --
 
   /** Product-quantization model: `nSub` sub-codebooks of `k` centroids over
-    * contiguous `dim/nSub`-wide subspaces. A vector's code is one byte per
-    * subspace (the index of the nearest sub-centroid), so the scannable ANN
-    * index stores `nSub + 4` bytes per vector instead of `4·dim` — 64-dim
-    * floats compress 256 B → 12 B at the default nSub=8. At 100 TB the PQ
-    * index is what executors actually scan per query batch; the raw vectors
-    * exist once (in [[vectorTable]]) and are touched only by the final
-    * exact re-rank over the bounded candidate list.
+    * contiguous `dim/nSub`-wide subspaces of the RESIDUAL (v − its coarse
+    * cell centroid). A vector's code is one byte per subspace (the index of
+    * the nearest sub-centroid), so the scannable ANN index stores `nSub+4`
+    * bytes per vector instead of `4·dim` — 64-dim floats compress
+    * 256 B → 12 B at the default nSub=8. At 100 TB the PQ index is what
+    * executors actually scan per query batch; the raw vectors exist once
+    * (in [[vectorTable]]) and are touched only by the final exact re-rank
+    * over the bounded candidate list.
+    *
+    * Residual (not raw-vector) encoding is the standard IVF-PQ refinement:
+    * codebooks quantize v − its coarse cell centroid, spending their
+    * resolution INSIDE the cell instead of on placing the cell. Know the
+    * method's boundary, measured at 1 M × 64: on a corpus of ~4 k-member
+    * near-duplicate clusters, the true top-10's score margins sit below ANY
+    * codebook's quantization error (raw and residual alike) — ADC finds the
+    * right cluster but the top-R cut inside it is effectively random,
+    * recall@10 ≈ R / cluster-size ≈ 0.02. That corpus is the DEDUP regime
+    * ([[graft.operators.Dedup.embeddingNearDupPairs]]); kNN it only after
+    * deduping, or widen `rerank` to cover the cluster. On a fine-grained
+    * corpus (clusters of tens, the realistic ANN regime) the same operating
+    * point ranks correctly — both regimes measured in `AnnScaleBench`.
     */
   final case class PqModel(codebooks: Array[Array[Array[Float]]]) extends Serializable {
     def nSub: Int = codebooks.length
@@ -391,11 +405,23 @@ object Similarity {
     centroids
   }
 
-  /** TRAIN phase: per-subspace codebooks from the same seeded hash-ordered
-    * uniform sample [[ivfTrain]] uses (different seed so the two samples are
-    * independent draws). k ≤ 256 so a code fits one byte.
+  /** v − its coarse cell centroid: the quantity the codebooks quantize. */
+  private def residual(v: Array[Float], centroids: Array[Array[Float]]): Array[Float] = {
+    val c = centroids(nearestCell(v, centroids))
+    val out = new Array[Float](v.length)
+    var i = 0
+    val lim = math.min(v.length, c.length)
+    while (i < lim) { out(i) = v(i) - c(i); i += 1 }
+    while (i < v.length) { out(i) = v(i); i += 1 }
+    out
+  }
+
+  /** TRAIN phase: per-subspace codebooks over RESIDUALS vs the given coarse
+    * centroids, from the same seeded hash-ordered uniform sample
+    * [[ivfTrain]] uses (different seed so the two samples are independent
+    * draws). k ≤ 256 so a code fits one byte.
     */
-  def pqTrain(corpus: DataFrame, nSub: Int = 8, k: Int = 16,
+  def pqTrain(corpus: DataFrame, centroids: Array[Array[Float]], nSub: Int = 8, k: Int = 16,
               sampleSize: Int = 256, iterations: Int = 5): PqModel = {
     require(k <= 256, s"PQ code must fit one byte: k=$k > 256")
     val spark = corpus.sparkSession
@@ -403,6 +429,7 @@ object Similarity {
     val sample = corpus.filter(col("embedding").isNotNull)
       .orderBy(xxhash64(col("vec_id"), lit(43)), col("vec_id")).limit(sampleSize)
       .select("embedding").as[Array[Float]].collect()
+      .map(v => residual(v, centroids))
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     require(dim % nSub == 0, s"embedding dim $dim not divisible by nSub=$nSub")
@@ -413,6 +440,7 @@ object Similarity {
     })
   }
 
+  /** Encode v's RESIDUAL (v must already be residualized by the caller). */
   private[operators] def pqEncode(v: Array[Float], pq: PqModel): Array[Byte] = {
     val codes = new Array[Byte](pq.nSub)
     var m = 0
@@ -464,7 +492,15 @@ object Similarity {
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
       .as[(Long, Array[Float])]
       .map { case (id, emb) =>
-        (nearestCell(emb, bcC.value), id, pqEncode(emb, bcP.value), l2norm(emb)) }
+        val cell = nearestCell(emb, bcC.value)
+        val cc = bcC.value(cell)
+        val res = new Array[Float](emb.length)
+        var i = 0
+        val lim = math.min(emb.length, cc.length)
+        while (i < lim) { res(i) = emb(i) - cc(i); i += 1 }
+        while (i < emb.length) { res(i) = emb(i); i += 1 }
+        (cell, id, pqEncode(res, bcP.value), l2norm(emb))
+      }
       .toDF("cell", "id", "codes", "norm")
   }
 
@@ -501,19 +537,30 @@ object Similarity {
     val r = k * rerank
     val joined = index.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("q_emb"), col("id"), col("codes"), col("norm"))
-      .as[(Long, Array[Float], Long, Array[Byte], Float)]
+      .select(col("query_id"), col("q_emb"), col("cell"), col("id"), col("codes"), col("norm"))
+      .as[(Long, Array[Float], Int, Long, Array[Byte], Float)]
     val approx = joined.mapPartitions { rows =>
       val p = bcP.value
+      val cents = bcC.value
       val luts = scala.collection.mutable.Map[Long, (Array[Float], Float)]()
+      // <q, cell centroid>, cached per (query, cell): with residual codes
+      // the reassembled inner product is <q,c_cell> + Σ_m lut[code_m] —
+      // ≤ nProbe coarse terms per query, amortized like the LUT
+      val qc = scala.collection.mutable.Map[(Long, Int), Double]()
       // bounded per-query top-R heap; "head" (max per this ordering) is the
       // WORST kept candidate: lowest score, largest id on ties — matching
       // the (score desc, id asc) cut the downstream window applies
       val ord = Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
       val heaps = scala.collection.mutable.Map[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]()
-      rows.foreach { case (qid, qEmb, id, codes, norm) =>
+      rows.foreach { case (qid, qEmb, cell, id, codes, norm) =>
         val (lut, qNorm) = luts.getOrElseUpdate(qid, (adcLut(qEmb, p), l2norm(qEmb)))
-        var ip = 0.0; var m = 0
+        var ip = qc.getOrElseUpdate((qid, cell), {
+          val cc = cents(cell); var d = 0.0; var i = 0
+          val lim = math.min(qEmb.length, cc.length)
+          while (i < lim) { d += qEmb(i).toDouble * cc(i); i += 1 }
+          d
+        })
+        var m = 0
         while (m < p.nSub) { ip += lut(m * p.k + (codes(m) & 0xFF)); m += 1 }
         val denom = qNorm.toDouble * norm
         val s = if (denom == 0) 0.0 else ip / denom
@@ -545,7 +592,7 @@ object Similarity {
                nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8, kCodes: Int = 16,
                rerank: Int = 8): DataFrame = {
     val cs = ivfTrain(corpus, nCells)
-    val pq = pqTrain(corpus, nSub, kCodes)
+    val pq = pqTrain(corpus, cs, nSub, kCodes)
     ivfPqKnnIndexed(ivfPqIndex(corpus, cs, pq), cs, pq, vectorTable(corpus),
       queries, k, nProbe, rerank)
   }

@@ -104,6 +104,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scanLine.contains("l_quantity"))
   }
 
+  test("q19 sketch distinct: HLL++ partial-aggregates map-side, pruned scan") {
+    val plan = planOf(SparkEntry.queries("q19_approx_distinct")(spark, sfDir))
+    // the sketch path must partial-aggregate (merge_approx_count_distinct on
+    // the final level means per-partition sketches merged after ONE slim
+    // exchange, never a per-key shuffle for the sketch side)
+    assert(plan.contains("approx_count_distinct"), plan)
+    assert(plan.toLowerCase.contains("partial_approx_count_distinct")
+      || plan.contains("merge_approx_count_distinct"), plan)
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("user_id") && !scanLine.contains("props"), scanLine)
+  }
+
   test("brute-force knn broadcasts the query side (no corpus shuffle before scoring)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = planOf(graft.operators.Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 3), 3))

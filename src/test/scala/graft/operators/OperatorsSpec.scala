@@ -302,10 +302,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceKnn(emb, queries, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val pq = Similarity.pqTrain(emb, nSub = 8, k = 16)
+    val cs = Similarity.ivfTrain(emb, nCells = 16)
+    val pq = Similarity.pqTrain(emb, cs, nSub = 8, k = 16)
     assert(pq.nSub == 8 && pq.k == 16 && pq.dim == 64)
     // every code byte indexes a real sub-centroid
-    val cs = Similarity.ivfTrain(emb, nCells = 16)
     val idx = Similarity.ivfPqIndex(emb, cs, pq)
     assert(idx.columns.toSet == Set("cell", "id", "codes", "norm"))
     val badCodes = idx.collect().count { r =>
@@ -329,7 +329,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
       val cs = Similarity.ivfTrain(emb, nCells = 16)
-      val pq = Similarity.pqTrain(emb, nSub = 8, k = 16)
+      val pq = Similarity.pqTrain(emb, cs, nSub = 8, k = 16)
       Similarity.ivfPqIndex(emb, cs, pq).write.parquet(s"$stage/ivfpq")
       Similarity.centroidsToDf(spark, cs).write.parquet(s"$stage/centroids")
       Similarity.pqModelToDf(spark, pq).write.parquet(s"$stage/pqmodel")
@@ -352,7 +352,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // always contains the global top-R by (score desc, id asc)
     val q = emb.filter(col("vec_id") < 10)
     val cs = Similarity.ivfTrain(emb, nCells = 16)
-    val pq = Similarity.pqTrain(emb, nSub = 8, k = 16)
+    val pq = Similarity.pqTrain(emb, cs, nSub = 8, k = 16)
     val idx = Similarity.ivfPqIndex(emb, cs, pq)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
