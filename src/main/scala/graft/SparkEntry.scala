@@ -161,7 +161,7 @@ object SparkEntry {
   private def stagedLshKnn(emb: DataFrame, q: DataFrame): DataFrame = {
     val dir = cachedIndexDir("lsh", emb) { d =>
       Similarity.lshIndex(emb, nBits = 4).write.parquet(s"$d/lsh")
-      Similarity.vectorTable(emb).write.parquet(s"$d/vectors")
+      Similarity.vectorTableBucketed(emb).write.partitionBy("id_bucket").parquet(s"$d/vectors")
     }
     val spark = emb.sparkSession
     Similarity.lshKnnIndexed(spark.read.parquet(s"$dir/lsh"),
@@ -196,7 +196,7 @@ object SparkEntry {
       Similarity.ivfPqIndex(emb, cs, pq).write.parquet(s"$d/ivfpq")
       Similarity.centroidsToDf(emb.sparkSession, cs).write.parquet(s"$d/centroids")
       Similarity.pqModelToDf(emb.sparkSession, pq).write.parquet(s"$d/pqmodel")
-      Similarity.vectorTable(emb).write.parquet(s"$d/vectors")
+      Similarity.vectorTableBucketed(emb).write.partitionBy("id_bucket").parquet(s"$d/vectors")
     }
     val spark = emb.sparkSession
     Similarity.ivfPqKnnIndexed(

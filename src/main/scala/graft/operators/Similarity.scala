@@ -128,6 +128,40 @@ object Similarity {
     corpus.filter(col("embedding").isNotNull)
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
 
+  /** Bucket count for the partitioned staged vector-table layout. Fixed by
+    * convention so the query side can re-derive a candidate's bucket
+    * without reading layout metadata (the same contract as the
+    * deterministic LSH planes: a pure function of the id).
+    */
+  val VectorBuckets = 64
+
+  /** [[vectorTable]] plus an `id_bucket` column for a PARTITIONED staged
+    * layout: persist with `.write.partitionBy("id_bucket")`. The re-rank
+    * join then includes the bucket key, and dynamic partition pruning
+    * (driven by the broadcast candidate list) prunes the scan to the
+    * candidate buckets instead of reading the whole vector corpus — the
+    * refinement that matters when query batches are small relative to the
+    * corpus: a 100-query batch touches ≤ `k·rerank·queries` candidate ids,
+    * i.e. at most that many of the [[VectorBuckets]] partitions.
+    */
+  def vectorTableBucketed(corpus: DataFrame): DataFrame =
+    vectorTable(corpus)
+      .withColumn("id_bucket", pmod(col("id"), lit(VectorBuckets.toLong)).cast("int"))
+
+  /** Re-rank join of a broadcast candidate list against the vector table.
+    * If the staged vectors carry the partitioned layout's `id_bucket`, the
+    * join includes it so Catalyst can insert a dynamic-pruning partition
+    * filter on the scan (plan-asserted in OperatorsSpec); a plain
+    * [[vectorTable]] joins on id alone.
+    */
+  private def joinVectors(vectors: DataFrame, candidates: DataFrame): DataFrame =
+    if (vectors.columns.contains("id_bucket"))
+      vectors.join(
+        broadcast(candidates.withColumn("id_bucket",
+          pmod(col("id"), lit(VectorBuckets.toLong)).cast("int"))),
+        Seq("id_bucket", "id"))
+    else vectors.join(broadcast(candidates), "id")
+
   /** BUILD phase: the multi-table LSH bucket index — one pass over the
     * corpus, one SLIM row per (table, vector): (bucket, id, dim) with the
     * table id packed into the bucket's high 32 bits. The constant `dim`
@@ -201,9 +235,9 @@ object Similarity {
     // broadcasts the query side for the same reason) — while `vectors` is
     // corpus-sized. Leaving this to AQE shuffled the single-copy vector
     // table on id (measured 360 MB at 1 M × 64 for a 100-query batch);
-    // broadcasting the ~candidate-list keeps the corpus side map-local.
-    val scored = vectors
-      .join(broadcast(candidates), "id")
+    // broadcasting the ~candidate-list keeps the corpus side map-local,
+    // and a bucketed staged layout additionally partition-prunes the scan.
+    val scored = joinVectors(vectors, candidates)
       .join(broadcast(qn), "query_id")
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine_similarity(col("q_emb"), col("emb")).as("score"))
@@ -578,9 +612,8 @@ object Similarity {
     val candidates = approx.withColumn("rr", row_number().over(wA))
       .filter(col("rr") <= r).select("query_id", "id")
     // bounded candidate list broadcast into the corpus-sized vector join,
-    // exactly like the LSH re-rank
-    val scored = vectors
-      .join(broadcast(candidates), "id")
+    // exactly like the LSH re-rank (partition-pruned when bucketed)
+    val scored = joinVectors(vectors, candidates)
       .join(broadcast(qn), "query_id")
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine_similarity(col("q_emb"), col("emb")).as("score"))

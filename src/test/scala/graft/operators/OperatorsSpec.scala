@@ -346,6 +346,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.pipeline.Staging.deleteRecursively(stage)
   }
 
+  test("bucketed staged vector table: re-rank scan is dynamically partition-pruned, same results") {
+    val stage = graft.pipeline.Staging.tempDir("graft-dpp-test")
+    try {
+      val q = emb.filter(col("vec_id") < 10)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      Similarity.lshIndex(emb, nBits = 4).write.parquet(s"$stage/lsh")
+      Similarity.vectorTableBucketed(emb).write.partitionBy("id_bucket").parquet(s"$stage/vectors")
+      val idx = spark.read.parquet(s"$stage/lsh")
+      val bucketed = Similarity.lshKnnIndexed(idx, spark.read.parquet(s"$stage/vectors"),
+        q, k = 5, nBits = 4)
+      // the broadcast candidate list must drive a dynamic partition-pruning
+      // filter on the vector scan: only candidate id-buckets are read
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+      val flat = Similarity.lshKnnIndexed(idx, Similarity.vectorTable(emb), q, k = 5, nBits = 4)
+      assert(rows(bucketed) == rows(flat))
+      assert(rows(bucketed).nonEmpty)
+    } finally graft.pipeline.Staging.deleteRecursively(stage)
+  }
+
   test("IVF-PQ candidate cut is partition-count-invariant (per-partition heaps + global window)") {
     // the same query against the index repartitioned to 1 vs 13 partitions
     // must produce identical top-k: the union of per-partition top-R heaps
