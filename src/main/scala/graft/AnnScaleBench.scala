@@ -115,6 +115,10 @@ object AnnScaleBench {
         val recallStaged = staged.intersect(brute).size.toDouble / brute.size
         println(f"[ann-scale] staged recall@10=$recallStaged%.3f")
       } finally graft.pipeline.Staging.deleteRecursively(stage)
+      // emb's last use was the staged-LSH arm; freeing it before the PQ and
+      // correlated-id phases keeps three corpus-sized caches from coexisting
+      // (eviction/spill during a later timed run = bench contamination)
+      emb.unpersist()
 
       // IVF-PQ: the compressed-index path — the scan side holds nSub+4 bytes
       // per vector instead of 4·dim, and the only exchange after the ADC
@@ -139,8 +143,8 @@ object AnnScaleBench {
         val t0 = System.nanoTime()
         val csU = Similarity.ivfTrain(embFine, nCells = 64)
         val pq = Similarity.pqTrain(embFine, csU, nSub = 8, k = 256, sampleSize = 2048)
-        Similarity.ivfPqIndex(embFine, csU, pq).write.parquet(s"$stagePq/ivfpq")
-        Similarity.ivfIndex(embFine, csU).write.parquet(s"$stagePq/ivf")
+        Similarity.ivfPqIndex(embFine, csU, pq).write.partitionBy("cell").parquet(s"$stagePq/ivfpq")
+        Similarity.ivfIndex(embFine, csU).write.partitionBy("cell").parquet(s"$stagePq/ivf")
         println(f"[ann-scale] ivfpq-index-build wall=${(System.nanoTime() - t0) / 1e9}%.1fs " +
           f"pqIndex=${dirBytes(s"$stagePq/ivfpq") / 1e6}%.1fMB " +
           f"rawIvfIndex=${dirBytes(s"$stagePq/ivf") / 1e6}%.1fMB")
@@ -154,6 +158,7 @@ object AnnScaleBench {
         val recallRaw = rawStaged.intersect(bruteFine).size.toDouble / bruteFine.size
         println(f"[ann-scale] ivf-raw recall@10=$recallRaw%.3f (fine-grained corpus)")
       } finally graft.pipeline.Staging.deleteRecursively(stagePq)
+      embFine.unpersist()
 
       // IVF on a cluster-correlated id layout: the case a biased training
       // sample (smallest ids = one cluster) fails. uniform = ivfTrain's

@@ -143,6 +143,12 @@ object Similarity {
     * refinement that matters when query batches are small relative to the
     * corpus: a 100-query batch touches ≤ `k·rerank·queries` candidate ids,
     * i.e. at most that many of the [[VectorBuckets]] partitions.
+    *
+    * LAYOUT CONTRACT: `id_bucket` must be `pmod(id, VectorBuckets)` with
+    * THIS constant — the query side re-derives it, and a table bucketed
+    * under a different modulus would make the (id_bucket, id) join silently
+    * miss. Same discipline as (nBits, nTables) for [[lshKnnIndexed]]: the
+    * layout parameters are part of the staged contract, not metadata.
     */
   def vectorTableBucketed(corpus: DataFrame): DataFrame =
     vectorTable(corpus)
@@ -439,9 +445,11 @@ object Similarity {
     centroids
   }
 
-  /** v − its coarse cell centroid: the quantity the codebooks quantize. */
-  private def residual(v: Array[Float], centroids: Array[Array[Float]]): Array[Float] = {
-    val c = centroids(nearestCell(v, centroids))
+  /** v − centroid, the single definition both pqTrain's sample and
+    * ivfPqIndex's codes go through — train/index residual semantics must
+    * never diverge.
+    */
+  private def subtractCentroid(v: Array[Float], c: Array[Float]): Array[Float] = {
     val out = new Array[Float](v.length)
     var i = 0
     val lim = math.min(v.length, c.length)
@@ -449,6 +457,10 @@ object Similarity {
     while (i < v.length) { out(i) = v(i); i += 1 }
     out
   }
+
+  /** v − its coarse cell centroid: the quantity the codebooks quantize. */
+  private def residual(v: Array[Float], centroids: Array[Array[Float]]): Array[Float] =
+    subtractCentroid(v, centroids(nearestCell(v, centroids)))
 
   /** TRAIN phase: per-subspace codebooks over RESIDUALS vs the given coarse
     * centroids, from the same seeded hash-ordered uniform sample
@@ -527,12 +539,7 @@ object Similarity {
       .as[(Long, Array[Float])]
       .map { case (id, emb) =>
         val cell = nearestCell(emb, bcC.value)
-        val cc = bcC.value(cell)
-        val res = new Array[Float](emb.length)
-        var i = 0
-        val lim = math.min(emb.length, cc.length)
-        while (i < lim) { res(i) = emb(i) - cc(i); i += 1 }
-        while (i < emb.length) { res(i) = emb(i); i += 1 }
+        val res = subtractCentroid(emb, bcC.value(cell))
         (cell, id, pqEncode(res, bcP.value), l2norm(emb))
       }
       .toDF("cell", "id", "codes", "norm")

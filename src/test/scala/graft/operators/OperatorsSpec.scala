@@ -287,12 +287,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(lshStaged.nonEmpty)
 
       val cs = Similarity.ivfTrain(emb, nCells = 16)
-      Similarity.ivfIndex(emb, cs).write.parquet(s"$stage/ivf")
+      // the shipped layout partitions on cell: the probe join's broadcast
+      // side must dynamically prune the index scan to the probed cells
+      Similarity.ivfIndex(emb, cs).write.partitionBy("cell").parquet(s"$stage/ivf")
       Similarity.centroidsToDf(spark, cs).write.parquet(s"$stage/centroids")
       val csBack = Similarity.centroidsFromDf(spark.read.parquet(s"$stage/centroids"))
       assert(csBack.map(_.toSeq).toSeq == cs.map(_.toSeq).toSeq)
-      val ivfStaged = rows(Similarity.ivfKnnIndexed(
-        spark.read.parquet(s"$stage/ivf"), csBack, q, k = 5, nProbe = 6))
+      val ivfStagedDf = Similarity.ivfKnnIndexed(
+        spark.read.parquet(s"$stage/ivf"), csBack, q, k = 5, nProbe = 6)
+      assert(ivfStagedDf.queryExecution.executedPlan.toString.toLowerCase
+        .contains("dynamicpruning"))
+      val ivfStaged = rows(ivfStagedDf)
       assert(ivfStaged == rows(Similarity.ivfKnn(emb, q, k = 5, nCells = 16, nProbe = 6)))
       assert(ivfStaged.nonEmpty)
     } finally graft.pipeline.Staging.deleteRecursively(stage)
@@ -330,17 +335,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
       val cs = Similarity.ivfTrain(emb, nCells = 16)
       val pq = Similarity.pqTrain(emb, cs, nSub = 8, k = 16)
-      Similarity.ivfPqIndex(emb, cs, pq).write.parquet(s"$stage/ivfpq")
+      // shipped layout: cell-partitioned codes, bucket-partitioned vectors —
+      // both scans must be dynamically pruned (probed cells / candidates)
+      Similarity.ivfPqIndex(emb, cs, pq).write.partitionBy("cell").parquet(s"$stage/ivfpq")
       Similarity.centroidsToDf(spark, cs).write.parquet(s"$stage/centroids")
       Similarity.pqModelToDf(spark, pq).write.parquet(s"$stage/pqmodel")
-      Similarity.vectorTable(emb).write.parquet(s"$stage/vectors")
+      Similarity.vectorTableBucketed(emb).write.partitionBy("id_bucket").parquet(s"$stage/vectors")
       val pqBack = Similarity.pqModelFromDf(spark.read.parquet(s"$stage/pqmodel"))
       assert(pqBack.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
         pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-      val staged = rows(Similarity.ivfPqKnnIndexed(
+      val stagedDf = Similarity.ivfPqKnnIndexed(
         spark.read.parquet(s"$stage/ivfpq"),
         Similarity.centroidsFromDf(spark.read.parquet(s"$stage/centroids")),
-        pqBack, spark.read.parquet(s"$stage/vectors"), q, k = 5, nProbe = 6))
+        pqBack, spark.read.parquet(s"$stage/vectors"), q, k = 5, nProbe = 6)
+      val planStr = stagedDf.queryExecution.executedPlan.toString.toLowerCase
+      assert(planStr.contains("dynamicpruning"))
+      val staged = rows(stagedDf)
       assert(staged == rows(Similarity.ivfPqKnn(emb, q, k = 5, nCells = 16, nProbe = 6)))
       assert(staged.nonEmpty)
     } finally graft.pipeline.Staging.deleteRecursively(stage)
