@@ -109,9 +109,32 @@ object SparkEntry {
     * concurrent processes can share it. Both the l1 query (split path) and
     * Verify's oracle staging (wholetext path) parse THIS file.
     */
+  /** Scale factor parsed from the sf path segment (".../sf0.01" → 0.01;
+    * last segment wins if several). Substring checks like
+    * `dir.contains("0.1")` silently mis-sized on any path with those digits
+    * elsewhere (a version segment like `v0.12`); the segment regex is shared
+    * by every sizing decision — l1 fixture, m1/m2 asset counts, and
+    * Verify's m1 replay — so a query and its oracle can never size
+    * differently.
+    */
+  private val SfSeg = "(?:^|/)sf([0-9]+(?:\\.[0-9]+)?)(?=/|$)".r
+  private[graft] def sfOfDir(dir: String): Option[Double] =
+    SfSeg.findAllMatchIn(dir).map(_.group(1).toDouble).toSeq.lastOption
+
+  /** Asset count for the m1/m2 multimodal queries (and Verify's m1 replay). */
+  private[graft] def multimodalAssetCount(dir: String): Long = sfOfDir(dir) match {
+    case Some(sf) if sf >= 0.1 => 5000L
+    case Some(sf) if sf >= 0.01 => 2000L
+    case _ => 500L
+  }
+
   private val l1Gen = new java.util.concurrent.ConcurrentHashMap[Int, String]()
   private[graft] def l1LogPath(dir: String): String = {
-    val mb = if (dir.contains("0.1")) 16 else if (dir.contains("0.01")) 4 else 1
+    val mb = sfOfDir(dir) match {
+      case Some(sf) if sf >= 0.1 => 16
+      case Some(sf) if sf >= 0.01 => 4
+      case _ => 1
+    }
     l1Gen.computeIfAbsent(mb, { _ =>
       val p = java.nio.file.Paths.get(s"/tmp/graft-l1-$mb.log")
       if (!java.nio.file.Files.exists(p)) {
@@ -171,19 +194,31 @@ object SparkEntry {
   /** IVF kNN through a parquet-staged index + centroid model (shared per
     * corpus like the LSH index).
     */
-  private def stagedIvfKnn(emb: DataFrame, q: DataFrame): DataFrame = {
-    val dir = cachedIndexDir("ivf", emb) { d =>
+  private def ivfDir(emb: DataFrame): String =
+    cachedIndexDir("ivf", emb) { d =>
       val cs = Similarity.ivfTrain(emb, nCells = 16)
       // partitioned on cell: the probe join's broadcast side dynamically
       // prunes the index scan to the nProbe cells actually probed
       Similarity.ivfIndex(emb, cs).write.partitionBy("cell").parquet(s"$d/ivf")
       Similarity.centroidsToDf(emb.sparkSession, cs).write.parquet(s"$d/centroids")
     }
+
+  private def stagedIvfKnn(emb: DataFrame, q: DataFrame): DataFrame = {
+    val dir = ivfDir(emb)
     Similarity.ivfKnnIndexed(
       emb.sparkSession.read.parquet(s"$dir/ivf"),
       Similarity.centroidsFromDf(emb.sparkSession.read.parquet(s"$dir/centroids")),
       q, k = 5, nProbe = 6)
   }
+
+  /** The centroid model of the staged IVF index the s3/s5 queries run
+    * against — Verify's sequential replay oracle scores candidates with the
+    * SAME model (the model is a dataset artifact; the replay pins the
+    * distributed index build + probe + re-rank machinery around it).
+    */
+  private[graft] def ivfModel(s: SparkSession, dir: String): Array[Array[Float]] =
+    Similarity.centroidsFromDf(
+      s.read.parquet(s"${ivfDir(tbl(s, dir, "embeddings"))}/centroids"))
 
   /** IVF-PQ kNN through a parquet-staged compressed index: coarse centroids
     * + per-subspace codebooks + (cell, id, codes, norm) rows + the
@@ -193,8 +228,8 @@ object SparkEntry {
     * the scan to the probed cells — the layout a 100 TB vector corpus
     * actually serves batches from.
     */
-  private def stagedIvfPqKnn(emb: DataFrame, q: DataFrame): DataFrame = {
-    val dir = cachedIndexDir("ivfpq", emb) { d =>
+  private def ivfPqDir(emb: DataFrame): String =
+    cachedIndexDir("ivfpq", emb) { d =>
       val cs = Similarity.ivfTrain(emb, nCells = 16)
       val pq = Similarity.pqTrain(emb, cs, nSub = 16, k = 16)
       Similarity.ivfPqIndex(emb, cs, pq).write.partitionBy("cell").parquet(s"$d/ivfpq")
@@ -202,6 +237,19 @@ object SparkEntry {
       Similarity.pqModelToDf(emb.sparkSession, pq).write.parquet(s"$d/pqmodel")
       Similarity.vectorTableBucketed(emb).write.partitionBy("id_bucket").parquet(s"$d/vectors")
     }
+
+  /** Coarse + PQ models of the staged IVF-PQ index s6/s7 query — same
+    * replay-oracle contract as [[ivfModel]].
+    */
+  private[graft] def ivfPqModel(s: SparkSession, dir: String)
+      : (Array[Array[Float]], Similarity.PqModel) = {
+    val d = ivfPqDir(tbl(s, dir, "embeddings"))
+    (Similarity.centroidsFromDf(s.read.parquet(s"$d/centroids")),
+      Similarity.pqModelFromDf(s.read.parquet(s"$d/pqmodel")))
+  }
+
+  private def stagedIvfPqKnn(emb: DataFrame, q: DataFrame): DataFrame = {
+    val dir = ivfPqDir(emb)
     val spark = emb.sparkSession
     Similarity.ivfPqKnnIndexed(
       spark.read.parquet(s"$dir/ivfpq"),
@@ -548,12 +596,12 @@ object SparkEntry {
     // ---- multimodal (real ImageIO decode for images, real WAV decode for
     //      audio; video stubbed — see operators/Multimodal) ----
     "m1_multimodal_features" -> ((s, dir) => {
-      val n = if (dir.contains("0.1")) 5000L else if (dir.contains("0.01")) 2000L else 500L
+      val n = multimodalAssetCount(dir)
       Multimodal.featureStats(Multimodal.extractFeatures(Multimodal.generateAssets(s, n)))
         .orderBy("media_type")
     }),
     "m2_multimodal_verify" -> ((s, dir) => {
-      val n = if (dir.contains("0.1")) 5000L else if (dir.contains("0.01")) 2000L else 500L
+      val n = multimodalAssetCount(dir)
       Multimodal.decodeVerify(Multimodal.generateAssets(s, n)).orderBy("media_type")
     }),
 
@@ -799,6 +847,26 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_pass
         |FROM (SELECT list_cosine_similarity(a.v, b.v) AS s FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE s >= 0.3""".stripMargin,
+    // d3/d4/s2/s3/s6: sequential no-Spark replay oracles (Verify stages the
+    // driver-loop recomputation of each pair/top-k set as parquet at dump
+    // time — the m1 pattern; see VerifyReplay). The recall gates d9/d10 and
+    // s4/s5/s7 remain the semantic-quality checks; these rows pin the
+    // distributed machinery itself (staging, caps, joins, heaps, windows).
+    "d3_minhash_pairs" ->
+      """SELECT id_a, id_b, jaccard FROM read_parquet('{STAGED}/replay_d3/*.parquet')
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d4_simhash_pairs" ->
+      """SELECT id_a, id_b, hamming FROM read_parquet('{STAGED}/replay_d4/*.parquet')
+        |ORDER BY id_a, id_b""".stripMargin,
+    "s2_knn_lsh" ->
+      """SELECT query_id, rank, neighbor_id, score FROM read_parquet('{STAGED}/replay_s2/*.parquet')
+        |ORDER BY query_id, rank""".stripMargin,
+    "s3_knn_ivf" ->
+      """SELECT query_id, rank, neighbor_id, score FROM read_parquet('{STAGED}/replay_s3/*.parquet')
+        |ORDER BY query_id, rank""".stripMargin,
+    "s6_knn_ivfpq" ->
+      """SELECT query_id, rank, neighbor_id, score FROM read_parquet('{STAGED}/replay_s6/*.parquet')
+        |ORDER BY query_id, rank""".stripMargin,
     "s4_lsh_recall" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
     "s5_ivf_recall" ->

@@ -35,6 +35,7 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] log staging failed (l1 oracle will miss): ${e.getMessage}")
     }
+    stageReplays(spark, sfDir, stagedDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -83,7 +84,7 @@ object Verify {
     * 4-decimal rounding at a boundary).
     */
   def m1ExpectedValues(sfDir: String): String = {
-    val n = if (sfDir.contains("0.1")) 5000L else if (sfDir.contains("0.01")) 2000L else 500L
+    val n = SparkEntry.multimodalAssetCount(sfDir)
     val acc = scala.collection.mutable.Map[
       String, (scala.collection.mutable.ArrayBuffer[Double], Double, Long)]()
     var id = 0L
@@ -108,6 +109,33 @@ object Verify {
       s"('$mt', CAST($c AS BIGINT), CAST(${r(sn / c, 4)} AS DOUBLE), " +
         s"CAST(${r(sw / c, 2)} AS DOUBLE), CAST($sf AS BIGINT))"
     }.mkString(", ")
+  }
+
+  /** Stage the sequential no-Spark replays of the five non-SQL-expressible
+    * queries (d3/d4 LSH pair sets, s2/s3/s6 ANN top-k sets) as parquet the
+    * DuckDB oracle reads back — the m1 pattern applied to the remaining
+    * rows-only checks, putting every driver query on the hash signal. Each
+    * replay is staged independently: one divergence (which IS the failure
+    * signal) must not hide the other four.
+    */
+  def stageReplays(spark: SparkSession, sfDir: String, stagedDir: String): Unit = {
+    import spark.implicits._
+    def stage(name: String)(build: => org.apache.spark.sql.DataFrame): Unit =
+      try build.coalesce(1).write.mode("overwrite").parquet(s"$stagedDir/replay_$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name replay failed (its oracle will miss): ${e.getMessage}")
+      }
+    lazy val docs = VerifyReplay.withDups(VerifyReplay.readDocs(spark, sfDir))
+    lazy val emb = VerifyReplay.readEmbeddings(spark, sfDir)
+    stage("d3")(VerifyReplay.d3Pairs(docs).toDF("id_a", "id_b", "jaccard"))
+    stage("d4")(VerifyReplay.d4Pairs(docs).toDF("id_a", "id_b", "hamming"))
+    stage("s2")(VerifyReplay.s2Knn(emb).toDF("query_id", "rank", "neighbor_id", "score"))
+    stage("s3")(VerifyReplay.s3Knn(emb, SparkEntry.ivfModel(spark, sfDir))
+      .toDF("query_id", "rank", "neighbor_id", "score"))
+    stage("s6") {
+      val (cs, pq) = SparkEntry.ivfPqModel(spark, sfDir)
+      VerifyReplay.s6Knn(emb, cs, pq).toDF("query_id", "rank", "neighbor_id", "score")
+    }
   }
 
   /** Stage the WHOLETEXT-path event stats of the deterministic l1 log file:

@@ -126,9 +126,13 @@ object Dedup {
       val conf = documents.sparkSession.conf
       val auto = conf.get(AutoStageConf, "true").toBoolean
       lazy val minDocs = conf.get(AutoStageMinDocsConf, "50000").toLong
-      // the count probe is an eager metadata-cheap job (parquet count never
-      // materializes columns); only paid when auto-staging is live
-      if (auto && documents.count() >= minDocs)
+      // BOUNDED probe: `limit(minDocs).count()` reads at most minDocs rows
+      // and stops. A plain `documents.count()` is metadata-cheap only on a
+      // bare parquet scan — on a computed plan (filtered/unioned/synthetic
+      // input) it executed the FULL plan at query-construction time just to
+      // test a threshold. Only paid when auto-staging is live.
+      val cap = math.min(minDocs, Int.MaxValue.toLong).toInt
+      if (auto && documents.limit(cap).count() >= cap)
         Some(graft.pipeline.Staging.tempDirDeletedOnExit(s"graft-autostage-$what"))
       else None
     }

@@ -290,8 +290,12 @@ object Multimodal {
       .groupBy("media_type")
       .agg(
         count(lit(1)).as("n_assets"),
+        // denominator counts NON-NULL norms: collect_list drops nulls, and
+        // count(lit(1)) counted all rows — a null embedding (unreachable
+        // today, decodeOne always returns an array) would silently deflate
+        // the mean vs avg()'s ignore-null semantics
         round(aggregate(sort_array(collect_list(col("norm"))), lit(0.0d),
-          (acc, x) => acc + x) / count(lit(1)), 4).as("avg_norm"),
+          (acc, x) => acc + x) / count(col("norm")), 4).as("avg_norm"),
         round(avg("width"), 2).as("avg_width"),
         sum("n_frames").as("total_frames"))
 

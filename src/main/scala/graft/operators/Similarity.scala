@@ -81,7 +81,7 @@ object Similarity {
     }
 
   /** The nTables independent plane sets shared by index build and probe. */
-  private[operators] def tablePlanes(nBits: Int, nTables: Int, dim: Int): Array[Array[Array[Float]]] =
+  private[graft] def tablePlanes(nBits: Int, nTables: Int, dim: Int): Array[Array[Array[Float]]] =
     Array.tabulate(nTables)(t => hyperplanes(nBits, dim, seed = 7L + t * 1000L))
 
   def signBucket(vec: Array[Float], planes: Array[Array[Float]]): Int = {
@@ -99,7 +99,7 @@ object Similarity {
     bucket
   }
 
-  private def cos(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def cos(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < math.min(a.length, b.length)) {
@@ -108,7 +108,7 @@ object Similarity {
     if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
   }
 
-  private def nearestCell(v: Array[Float], cs: Array[Array[Float]]): Int = {
+  private[graft] def nearestCell(v: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0; var bestS = Double.MinValue
     var c = 0
     while (c < cs.length) { val s = cos(v, cs(c)); if (s > bestS) { bestS = s; best = c }; c += 1 }
@@ -176,8 +176,23 @@ object Similarity {
     * dictionary-encodes it to ~nothing. Vectors deliberately do NOT ride
     * along — persist [[vectorTable]] once beside this, and feed query
     * batches to [[lshKnnIndexed]] without ever rescanning the corpus.
+    *
+    * Hot-bucket defusal at BUILD time (the same failure mode
+    * [[Dedup.minhashPairs]] caps): ANN corpora are routinely near-dup-heavy,
+    * and an uncapped hot bucket makes the query side's candidate list — which
+    * is `broadcast()` into the re-rank join — proportional to the hottest
+    * bucket, an 8 GB-broadcast-limit / driver-OOM abort at exactly the scale
+    * this path targets. Each (table, bucket) keeps its `maxBucket`
+    * hash-ordered members, so candidates are truly bounded by
+    * queries × nTables × (nBits+1) × maxBucket. Hash order (not lowest-id)
+    * keeps the kept subset unbiased on corpora where id correlates with
+    * content; members of an over-full bucket are near-collisions of each
+    * other, so top-k quality degrades gracefully, and the other tables
+    * usually recover a dropped neighbor. `maxBucket` is part of the staged
+    * index contract like (nBits, nTables).
     */
-  def lshIndex(corpus: DataFrame, nBits: Int = 8, nTables: Int = 4): DataFrame = {
+  def lshIndex(corpus: DataFrame, nBits: Int = 8, nTables: Int = 4,
+               maxBucket: Int = 4096): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val nonNull = corpus.filter(col("embedding").isNotNull)
@@ -185,7 +200,7 @@ object Similarity {
     if (dimRow.isEmpty) return emptyDf(spark, "bucket BIGINT, id BIGINT, dim INT")
     val dim = dimRow(0).getInt(0)
     val planes = spark.sparkContext.broadcast(tablePlanes(nBits, nTables, dim))
-    nonNull
+    val banded = nonNull
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
@@ -194,6 +209,10 @@ object Similarity {
         }
       }
       .toDF("bucket", "id", "dim")
+    val w = Window.partitionBy("bucket").orderBy(xxhash64(col("id"), lit(17)), col("id"))
+    banded.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket)
+      .drop("_rn")
   }
 
   /** QUERY phase: approximate top-k against a prebuilt [[lshIndex]] +
@@ -235,14 +254,17 @@ object Similarity {
     val candidates = index.join(broadcast(probes), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .select("query_id", "id").distinct()
-    // candidates are BROADCAST into the vector join: they are bounded by
-    // (query batch × nTables × probe width × bucket cap) — the kNN contract
-    // is a bounded query batch against a huge corpus (the brute path
-    // broadcasts the query side for the same reason) — while `vectors` is
-    // corpus-sized. Leaving this to AQE shuffled the single-copy vector
-    // table on id (measured 360 MB at 1 M × 64 for a 100-query batch);
-    // broadcasting the ~candidate-list keeps the corpus side map-local,
-    // and a bucketed staged layout additionally partition-prunes the scan.
+    // candidates are BROADCAST into the vector join: for an index built by
+    // [[lshIndex]] they are bounded by queries × nTables × (nBits+1) probes
+    // × maxBucket — the bucket cap is enforced at BUILD time and is part of
+    // the staged contract (an index staged by another tool without the cap
+    // voids this bound). The kNN contract is a bounded query batch against
+    // a huge corpus (the brute path broadcasts the query side for the same
+    // reason) — while `vectors` is corpus-sized. Leaving this to AQE
+    // shuffled the single-copy vector table on id (measured 360 MB at
+    // 1 M × 64 for a 100-query batch); broadcasting the candidate list
+    // keeps the corpus side map-local, and a bucketed staged layout
+    // additionally partition-prunes the scan.
     val scored = joinVectors(vectors, candidates)
       .join(broadcast(qn), "query_id")
       .select(col("query_id"), col("id").as("neighbor_id"),
@@ -449,7 +471,7 @@ object Similarity {
     * ivfPqIndex's codes go through — train/index residual semantics must
     * never diverge.
     */
-  private def subtractCentroid(v: Array[Float], c: Array[Float]): Array[Float] = {
+  private[graft] def subtractCentroid(v: Array[Float], c: Array[Float]): Array[Float] = {
     val out = new Array[Float](v.length)
     var i = 0
     val lim = math.min(v.length, c.length)
@@ -487,14 +509,14 @@ object Similarity {
   }
 
   /** Encode v's RESIDUAL (v must already be residualized by the caller). */
-  private[operators] def pqEncode(v: Array[Float], pq: PqModel): Array[Byte] = {
+  private[graft] def pqEncode(v: Array[Float], pq: PqModel): Array[Byte] = {
     val codes = new Array[Byte](pq.nSub)
     var m = 0
     while (m < pq.nSub) { codes(m) = nearestL2(v, m * pq.subDim, pq.codebooks(m)).toByte; m += 1 }
     codes
   }
 
-  private def l2norm(v: Array[Float]): Float = {
+  private[graft] def l2norm(v: Array[Float]): Float = {
     var ss = 0.0; var i = 0
     while (i < v.length) { ss += v(i).toDouble * v(i); i += 1 }
     math.sqrt(ss).toFloat
@@ -505,7 +527,7 @@ object Similarity {
     * partition scores — each row then costs nSub lookups + adds instead of
     * dim multiplies.
     */
-  private def adcLut(q: Array[Float], p: PqModel): Array[Float] = {
+  private[graft] def adcLut(q: Array[Float], p: PqModel): Array[Float] = {
     val lut = new Array[Float](p.nSub * p.k)
     var m = 0
     while (m < p.nSub) {
