@@ -157,6 +157,31 @@ object AnnScaleBench {
           spark.read.parquet(s"$stagePq/ivf"), csU, qFine, k = 10, nProbe = 8))
         val recallRaw = rawStaged.intersect(bruteFine).size.toDouble / bruteFine.size
         println(f"[ann-scale] ivf-raw recall@10=$recallRaw%.3f (fine-grained corpus)")
+
+        // Distributed trainer at REAL cell counts: 4096 cells on the same
+        // 65,536-cluster corpus, compared to the 64-cell driver-trained
+        // config above at EQUAL probe fraction (12.5% — nProbe 512/4096 vs
+        // 8/64). The driver trainer cannot reach 4096 cells (it needs a
+        // sample ≫ nCells collected to the driver and O(sample·nCells·dim)
+        // driver flops per iteration); the distributed trainer keeps only
+        // the model on the driver (4096 × 64 floats = 1 MB) and runs each
+        // Lloyd pass as a cluster job over a seeded quarter-slice.
+        val tTrain = System.nanoTime()
+        val cs4k = Similarity.ivfTrainDistributed(embFine, nCells = 4096,
+          iterations = 3, sampleFraction = 0.25)
+        val modelMb = cs4k.length.toLong * cs4k.head.length * 4 / 1e6
+        println(f"[ann-scale] ivf-dist-train nCells=4096 iters=3 frac=0.25 " +
+          f"wall=${(System.nanoTime() - tTrain) / 1e9}%.1fs driverModel=$modelMb%.1fMB")
+        val tIdx = System.nanoTime()
+        val idx4k = Similarity.ivfIndex(embFine, cs4k).persist()
+        idx4k.count()
+        println(f"[ann-scale] ivf-dist-index-build wall=${(System.nanoTime() - tIdx) / 1e9}%.1fs")
+        val dist = run("ivf-dist-4096c")(
+          Similarity.ivfKnnIndexed(idx4k, cs4k, qFine, k = 10, nProbe = 512))
+        val recallDist = dist.intersect(bruteFine).size.toDouble / bruteFine.size
+        idx4k.unpersist()
+        println(f"[ann-scale] ivf-dist recall@10=$recallDist%.3f vs 64-cell $recallRaw%.3f " +
+          "(equal probe fraction 12.5%)")
       } finally graft.pipeline.Staging.deleteRecursively(stagePq)
       embFine.unpersist()
 

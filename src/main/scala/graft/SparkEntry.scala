@@ -220,6 +220,22 @@ object SparkEntry {
     Similarity.centroidsFromDf(
       s.read.parquet(s"${ivfDir(tbl(s, dir, "embeddings"))}/centroids"))
 
+  /** IVF through the EXECUTOR-SIDE trainer (full-population distributed
+    * Lloyd) — the s8 gate puts the scale trainer on the driver correctness
+    * signal with the same staged contract as s3/s5.
+    */
+  private def stagedIvfDistKnn(emb: DataFrame, q: DataFrame): DataFrame = {
+    val dir = cachedIndexDir("ivfdist", emb) { d =>
+      val cs = Similarity.ivfTrainDistributed(emb, nCells = 16)
+      Similarity.ivfIndex(emb, cs).write.partitionBy("cell").parquet(s"$d/ivf")
+      Similarity.centroidsToDf(emb.sparkSession, cs).write.parquet(s"$d/centroids")
+    }
+    Similarity.ivfKnnIndexed(
+      emb.sparkSession.read.parquet(s"$dir/ivf"),
+      Similarity.centroidsFromDf(emb.sparkSession.read.parquet(s"$dir/centroids")),
+      q, k = 5, nProbe = 6)
+  }
+
   /** IVF-PQ kNN through a parquet-staged compressed index: coarse centroids
     * + per-subspace codebooks + (cell, id, codes, norm) rows + the
     * single-copy vector table for the exact re-rank. The scan side of a
@@ -452,6 +468,30 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
     }),
+    // sketch-based quantiles: approx_percentile (Greenwald-Khanna style
+    // summary) with a pinned relative-error gate vs the exact percentile —
+    // q19's shape applied to the OTHER heavy aggregate family. At 100 TB
+    // exact percentile holds a per-group value buffer; the sketch is
+    // bounded memory per partition and merges map-side. The exact side
+    // doubles as the DuckDB-checkable anchor (quantile_cont).
+    "q20_approx_percentile" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ex"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("ap"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          round(col("ex")(0), 2).as("p50_exact"),
+          round(col("ex")(1), 2).as("p95_exact"),
+          col("n_rows"),
+          // vacuous truth when the exact quantile is 0 (ap/0 would be NULL)
+          when(col("ex")(0) === 0.0d, lit(true))
+            .otherwise(abs(col("ap")(0) / col("ex")(0) - 1.0) <= 0.01 &&
+              abs(col("ap")(1) / col("ex")(1) - 1.0) <= 0.01)
+            .as("err_pass"))
+        .orderBy("l_returnflag")
+    }),
     "q13_rollup" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -562,6 +602,11 @@ object SparkEntry {
       annRecall(tbl(s, dir, "embeddings"), stagedLshKnn, minRecall = 0.6)),
     "s5_ivf_recall" -> ((s, dir) =>
       annRecall(tbl(s, dir, "embeddings"), stagedIvfKnn, minRecall = 0.6)),
+    // s8: the executor-side (distributed Lloyd) trainer behind the same
+    // staged IVF contract and recall gate — the trainer a 10⁴–10⁵-cell
+    // 100 TB index needs, graded on the driver signal like s5
+    "s8_ivf_dist_recall" -> ((s, dir) =>
+      annRecall(tbl(s, dir, "embeddings"), stagedIvfDistKnn, minRecall = 0.6)),
     // s6/s7: the product-quantized IVF path (compressed codes scanned, raw
     // vectors touched only by the bounded exact re-rank) through the same
     // staged-parquet contract and recall gate as s2-s5
@@ -727,6 +772,11 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(round(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE) AS p50,
         |CAST(round(quantile_cont(l_extendedprice, 0.95), 2) AS DOUBLE) AS p95, count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_approx_percentile" ->
+      """SELECT l_returnflag, CAST(round(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE) AS p50_exact,
+        |CAST(round(quantile_cont(l_extendedprice, 0.95), 2) AS DOUBLE) AS p95_exact,
+        |count(*) AS n_rows, true AS err_pass
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |CAST(sum(l_quantity) AS BIGINT) AS sum_qty
@@ -801,7 +851,8 @@ object SparkEntry {
     // booleans are pinned true like d7/s4/s5.
     "d9_minhash_recall" ->
       s"""WITH docs AS ($DocsWithDupsSql),
-        |nrm AS (SELECT doc_id, source, trim(regexp_replace(lower(text),'\\s+',' ','g')) AS s FROM docs),
+        |nrm AS (SELECT doc_id, source, trim(regexp_replace(lower(text),'\\s+',' ','g')) AS s FROM docs
+        |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 4096),
         |g AS (SELECT doc_id, source, list_distinct(CASE WHEN length(s) < 5 THEN [s]
         |    ELSE [substr(s, i, 5) for i in range(1, length(s)-3)] END) AS sh FROM nrm),
         |p AS (SELECT len(list_intersect(a.sh,b.sh))*1.0 /
@@ -810,7 +861,8 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_pass FROM p WHERE j >= 0.8""".stripMargin,
     "d10_simhash_recall" ->
       s"""WITH docs AS ($DocsWithDupsSql),
-        |nrm AS (SELECT doc_id, source, trim(regexp_replace(lower(text),'\\s+',' ','g')) AS s FROM docs),
+        |nrm AS (SELECT doc_id, source, trim(regexp_replace(lower(text),'\\s+',' ','g')) AS s FROM docs
+        |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 4096),
         |g AS (SELECT doc_id, source, list_distinct(CASE WHEN length(s) < 5 THEN [s]
         |    ELSE [substr(s, i, 5) for i in range(1, length(s)-3)] END) AS sh FROM nrm),
         |p AS (SELECT len(list_intersect(a.sh,b.sh))*1.0 /
@@ -819,7 +871,8 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_pass FROM p WHERE j >= 0.8""".stripMargin,
     "d11_dedup_pipeline" ->
       s"""WITH docs AS ($DocsWithDupsSql),
-        |nrm AS (SELECT doc_id, source, trim(regexp_replace(lower(text),'\\s+',' ','g')) AS s FROM docs),
+        |nrm AS (SELECT doc_id, source, trim(regexp_replace(lower(text),'\\s+',' ','g')) AS s FROM docs
+        |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 4096),
         |g AS (SELECT doc_id, source, list_distinct(CASE WHEN length(s) < 5 THEN [s]
         |    ELSE [substr(s, i, 5) for i in range(1, length(s)-3)] END) AS sh FROM nrm),
         |p AS (SELECT len(list_intersect(a.sh,b.sh))*1.0 /
@@ -872,6 +925,8 @@ object SparkEntry {
     "s5_ivf_recall" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
     "s7_ivfpq_recall" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
+    "s8_ivf_dist_recall" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
     // {M1_VALUES} = Verify's sequential no-Spark replay of the same
     // deterministic asset generation + decode, substituted at dump time

@@ -198,7 +198,7 @@ object VerifyReplay {
 
   /** Sequential [[Similarity.lshIndex]]+[[Similarity.lshKnnIndexed]] at the
     * s2 driver query's operating point (nBits=4, nTables=4, k=5, queries =
-    * vec_id < 10, hash-ordered build-time bucket cap). Returns
+    * vec_id < 10, hash-ordered probe-time bucket cap). Returns
     * (query_id, rank, neighbor_id, score).
     */
   def s2Knn(emb: Seq[(Long, Array[Float])], k: Int = 5, nBits: Int = 4, nTables: Int = 4,
@@ -208,6 +208,8 @@ object VerifyReplay {
     val planes = Similarity.tablePlanes(nBits, nTables, dim)
     // xxhash64(id, 17) twin: Spark folds children left to right from seed 42
     def capKey(id: Long): (Long, Long) = (XXH64.hashInt(17, XXH64.hashLong(id, 42L)), id)
+    // probe-time cap per bucket, hash-ordered, BEFORE the per-query fanout
+    // and before the self-filter — the same order lshKnnIndexed applies
     val index: Map[Long, Seq[Long]] = emb.flatMap { case (id, v) =>
       planes.iterator.zipWithIndex.map { case (p, t) =>
         ((t.toLong << 32) | Similarity.signBucket(v, p).toLong, id)
@@ -233,7 +235,8 @@ object VerifyReplay {
     */
   def s3Knn(emb: Seq[(Long, Array[Float])], centroids: Array[Array[Float]],
             k: Int = 5, nProbe: Int = 6): Seq[(Long, Int, Long, Double)] = {
-    val byCell = emb.groupBy { case (_, v) => Similarity.nearestCell(v, centroids) }
+    val unit = Similarity.unitize(centroids)
+    val byCell = emb.groupBy { case (_, v) => Similarity.nearestCellDot(v, unit) }
     val vecs = emb.toMap
     emb.filter(_._1 < 10).flatMap { case (qid, qv) =>
       val probed = centroids.indices.map(c => (c, Similarity.cos(qv, centroids(c))))
@@ -257,8 +260,9 @@ object VerifyReplay {
             pq: Similarity.PqModel, k: Int = 5, nProbe: Int = 6,
             rerank: Int = 40): Seq[(Long, Int, Long, Double)] = {
     val r = k * rerank
+    val unit = Similarity.unitize(centroids)
     val indexRows = emb.map { case (id, v) =>
-      val cell = Similarity.nearestCell(v, centroids)
+      val cell = Similarity.nearestCellDot(v, unit)
       (cell, id, Similarity.pqEncode(Similarity.subtractCentroid(v, centroids(cell)), pq),
         Similarity.l2norm(v))
     }

@@ -176,23 +176,12 @@ object Similarity {
     * dictionary-encodes it to ~nothing. Vectors deliberately do NOT ride
     * along — persist [[vectorTable]] once beside this, and feed query
     * batches to [[lshKnnIndexed]] without ever rescanning the corpus.
-    *
-    * Hot-bucket defusal at BUILD time (the same failure mode
-    * [[Dedup.minhashPairs]] caps): ANN corpora are routinely near-dup-heavy,
-    * and an uncapped hot bucket makes the query side's candidate list — which
-    * is `broadcast()` into the re-rank join — proportional to the hottest
-    * bucket, an 8 GB-broadcast-limit / driver-OOM abort at exactly the scale
-    * this path targets. Each (table, bucket) keeps its `maxBucket`
-    * hash-ordered members, so candidates are truly bounded by
-    * queries × nTables × (nBits+1) × maxBucket. Hash order (not lowest-id)
-    * keeps the kept subset unbiased on corpora where id correlates with
-    * content; members of an over-full bucket are near-collisions of each
-    * other, so top-k quality degrades gracefully, and the other tables
-    * usually recover a dropped neighbor. `maxBucket` is part of the staged
-    * index contract like (nBits, nTables).
+    * Hot buckets are defused at PROBE time (see [[lshKnnIndexed]]'s
+    * `maxBucket`), so the build stays a windowless single pass — a
+    * build-time cap was tried and costs a corpus-sized window sort per
+    * index construction for protection only queries need.
     */
-  def lshIndex(corpus: DataFrame, nBits: Int = 8, nTables: Int = 4,
-               maxBucket: Int = 4096): DataFrame = {
+  def lshIndex(corpus: DataFrame, nBits: Int = 8, nTables: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val nonNull = corpus.filter(col("embedding").isNotNull)
@@ -200,7 +189,7 @@ object Similarity {
     if (dimRow.isEmpty) return emptyDf(spark, "bucket BIGINT, id BIGINT, dim INT")
     val dim = dimRow(0).getInt(0)
     val planes = spark.sparkContext.broadcast(tablePlanes(nBits, nTables, dim))
-    val banded = nonNull
+    nonNull
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
@@ -209,10 +198,6 @@ object Similarity {
         }
       }
       .toDF("bucket", "id", "dim")
-    val w = Window.partitionBy("bucket").orderBy(xxhash64(col("id"), lit(17)), col("id"))
-    banded.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= maxBucket)
-      .drop("_rn")
   }
 
   /** QUERY phase: approximate top-k against a prebuilt [[lshIndex]] +
@@ -226,9 +211,28 @@ object Similarity {
     * slim — (bucket, id) × broadcast (bucket, query_id) — and the vector
     * corpus is touched exactly once, by the exact-cosine re-rank join on
     * the distinct candidate ids.
+    *
+    * Hot-bucket defusal (the near-dup regime [[Dedup.minhashPairs]] caps):
+    * without a cap, one hot bucket makes the candidate list — which is
+    * `broadcast()` into the re-rank join — proportional to the hottest
+    * bucket's population: an 8 GB-broadcast-limit / driver-OOM abort at
+    * exactly the scale this path targets. Each PROBED bucket is capped to
+    * its `maxBucket` hash-ordered members BEFORE the per-query fan-out
+    * join, bounding candidates by queries × nTables × (nBits+1) ×
+    * maxBucket. Placement matters twice over: at index build the cap would
+    * cost a corpus-sized window sort per construction (tried; it also made
+    * the one-shot plan recompute that window for the plan-time dim probe),
+    * and after the probe join it would shuffle every (query, member)
+    * pairing through the window — capping the probed buckets ONCE, before
+    * queries multiply them, keeps the window input to probed members only.
+    * Hash order — not lowest-id — keeps the kept subset unbiased on
+    * id-correlated corpora; an over-full bucket's members are
+    * near-collisions of each other, so top-k quality degrades gracefully
+    * and other tables usually recover a dropped neighbor.
     */
   def lshKnnIndexed(index: DataFrame, vectors: DataFrame, queries: DataFrame,
-                    k: Int = 5, nBits: Int = 8, nTables: Int = 4): DataFrame = {
+                    k: Int = 5, nBits: Int = 8, nTables: Int = 4,
+                    maxBucket: Int = 4096): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val qn = queries.filter(col("embedding").isNotNull)
@@ -251,20 +255,23 @@ object Similarity {
         }
       }.toDF("bucket", "query_id")
 
-    val candidates = index.join(broadcast(probes), Seq("bucket"))
+    val wCap = Window.partitionBy("bucket").orderBy(xxhash64(col("id"), lit(17)), col("id"))
+    val probedIndex = index.join(broadcast(probes.select("bucket").distinct()), Seq("bucket"))
+      .withColumn("_rn", row_number().over(wCap))
+      .filter(col("_rn") <= maxBucket)
+      .drop("_rn")
+    val candidates = probedIndex.join(broadcast(probes), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .select("query_id", "id").distinct()
-    // candidates are BROADCAST into the vector join: for an index built by
-    // [[lshIndex]] they are bounded by queries × nTables × (nBits+1) probes
-    // × maxBucket — the bucket cap is enforced at BUILD time and is part of
-    // the staged contract (an index staged by another tool without the cap
-    // voids this bound). The kNN contract is a bounded query batch against
-    // a huge corpus (the brute path broadcasts the query side for the same
-    // reason) — while `vectors` is corpus-sized. Leaving this to AQE
-    // shuffled the single-copy vector table on id (measured 360 MB at
-    // 1 M × 64 for a 100-query batch); broadcasting the candidate list
-    // keeps the corpus side map-local, and a bucketed staged layout
-    // additionally partition-prunes the scan.
+    // candidates are BROADCAST into the vector join: the probe-time cap
+    // above bounds them by queries × nTables × (nBits+1) probes × maxBucket.
+    // The kNN contract is a bounded query batch against a huge corpus (the
+    // brute path broadcasts the query side for the same reason) — while
+    // `vectors` is corpus-sized. Leaving this to AQE shuffled the
+    // single-copy vector table on id (measured 360 MB at 1 M × 64 for a
+    // 100-query batch); broadcasting the candidate list keeps the corpus
+    // side map-local, and a bucketed staged layout additionally
+    // partition-prunes the scan.
     val scored = joinVectors(vectors, candidates)
       .join(broadcast(qn), "query_id")
       .select(col("query_id"), col("id").as("neighbor_id"),
@@ -331,18 +338,147 @@ object Similarity {
     centroids
   }
 
+  /** Unit-normalized copies of the centroids: argmax over cells of
+    * dot(v, c/|c|) ranks exactly like argmax cos(v, c) (|v| is constant
+    * across cells), at a third of the flops and with |c| computed once per
+    * broadcast instead of once per (point, cell). Zero-norm centroids stay
+    * zero vectors (dot 0 — same rank behavior as cos's 0-for-zero-norm).
+    */
+  private[graft] def unitize(cs: Array[Array[Float]]): Array[Array[Float]] =
+    cs.map { c =>
+      val n = l2norm(c)
+      if (n == 0f) c.clone()
+      else {
+        val o = new Array[Float](c.length)
+        var i = 0
+        while (i < c.length) { o(i) = c(i) / n; i += 1 }
+        o
+      }
+    }
+
+  private[graft] def nearestCellDot(v: Array[Float], unit: Array[Array[Float]]): Int = {
+    var best = 0; var bestS = Double.MinValue
+    var c = 0
+    while (c < unit.length) {
+      val u = unit(c); var d = 0.0; var i = 0
+      val lim = math.min(v.length, u.length)
+      while (i < lim) { d += v(i).toDouble * u(i); i += 1 }
+      if (d > bestS) { bestS = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** TRAIN phase at scale: executor-side Lloyd. [[ivfTrain]] collects a
+    * sample to the driver and iterates there — the right tool while nCells
+    * stays small, but its per-iteration cost is O(sample · nCells · dim) ON
+    * THE DRIVER and a sound sample needs ≫ nCells rows, so it stops being
+    * driver-shaped around nCells ≈ 10³. IVF pruning power on a 100 TB
+    * corpus needs nCells ~10⁴–10⁵; this trainer keeps only the MODEL on the
+    * driver (nCells × dim floats) and does each iteration as a cluster job:
+    *
+    *  - init: the nCells seeded hash-ordered sample rows ([[ivfTrain]]'s
+    *    uniformity argument — every vector equally likely regardless of id
+    *    layout, deterministic across runs);
+    *  - per iteration: broadcast the centroids, assign the training set to
+    *    cells in `mapPartitions` (unit-centroid dot product), partial-sum
+    *    members per (partition, cell) into FIXED-POINT accumulators —
+    *    per-dim contributions quantized to 2⁻²⁴-resolution longs — then
+    *    `posexplode` the slim partials and `groupBy(cell, pos).sum` (long
+    *    addition is associative-exact, so the reduction is DETERMINISTIC
+    *    under any partitioning / task-completion order; double sums are
+    *    not, and a nondeterministic trainer would break the staged-model
+    *    contract — a restarted build must reproduce the same centroids —
+    *    and the sequential replay oracles). The 2⁻²⁴ quantization
+    *    (~6e-8/coordinate) sits far below Lloyd's own convergence
+    *    tolerance. The exchange carries ≤ partitions × nCells × dim slim
+    *    rows per iteration, never the training set.
+    *
+    * Empty cells keep their previous centroid, like [[ivfTrain]].
+    * `sampleFraction` < 1 trains on a seeded hash-slice of the corpus
+    * (membership a pure function of vec_id — deterministic, id-layout-
+    * proof); the default 1.0 trains on the whole population — the
+    * reference-analogous move: its matcher compiles from the entire
+    * schema, never a corner (/root/reference/src/dfa/dfa.rs:250-413).
+    */
+  def ivfTrainDistributed(corpus: DataFrame, nCells: Int, iterations: Int = 5,
+                          sampleFraction: Double = 1.0): Array[Array[Float]] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0, s"bad sampleFraction $sampleFraction")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val Q = 1L << 24
+    val nonNull = corpus.filter(col("embedding").isNotNull)
+    val init = nonNull
+      .orderBy(xxhash64(col("vec_id"), lit(41)), col("vec_id")).limit(nCells)
+      .select("embedding").as[Array[Float]].collect()
+    require(init.nonEmpty, "empty corpus")
+    val dim = init.head.length
+    // same seed as the init ordering: the hash-slice keeps the lowest-hash
+    // fraction, so the init rows are inside the training set by construction
+    val training = (if (sampleFraction >= 1.0) nonNull
+      else nonNull.filter(
+        shiftrightunsigned(xxhash64(col("vec_id"), lit(41)), 11).cast("double")
+          / lit((1L << 53).toDouble) < sampleFraction))
+      .select(col("embedding")).as[Array[Float]]
+
+    var centroids = init
+    var it = 0
+    while (it < iterations) {
+      val bc = spark.sparkContext.broadcast(unitize(centroids))
+      val partials = training.mapPartitions { rows =>
+        val unit = bc.value
+        val acc = new scala.collection.mutable.HashMap[Int, (Array[Long], Long)]()
+        rows.foreach { v =>
+          val cell = nearestCellDot(v, unit)
+          val (s, n) = acc.getOrElseUpdate(cell, (new Array[Long](dim), 0L))
+          var i = 0
+          val lim = math.min(v.length, dim)
+          while (i < lim) { s(i) += Math.round(v(i).toDouble * Q); i += 1 }
+          acc(cell) = (s, n + 1L)
+        }
+        acc.iterator.map { case (c, (s, n)) => (c, s, n) }
+      }.toDF("cell", "qsum", "n")
+      val collected = partials
+        .select(col("cell"), col("n"), posexplode(col("qsum")).as(Seq("pos", "q")))
+        .groupBy("cell", "pos").agg(sum("q").as("s"), sum("n").as("cnt"))
+        .groupBy("cell").agg(
+          sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"),
+          max("cnt").as("cnt"))
+        .collect()
+      val next = centroids.map(_.clone())
+      collected.foreach { r =>
+        val cell = r.getInt(0)
+        val ps = r.getSeq[org.apache.spark.sql.Row](1)
+        val cnt = r.getLong(2)
+        val arr = new Array[Float](dim)
+        ps.foreach { p => arr(p.getInt(0)) = ((p.getLong(1).toDouble / cnt) / Q).toFloat }
+        next(cell) = arr
+      }
+      centroids = next
+      bc.unpersist(blocking = false)
+      it += 1
+    }
+    centroids
+  }
+
   /** BUILD phase: assign every corpus vector to its nearest centroid cell —
     * one pass, broadcast centroids. Output (cell, id, emb) is the
     * parquet-persistable inverted file; readers prune to the probed cells.
+    * Assignment ranks cells by dot(v, c/|c|) over pre-unitized centroids —
+    * the same ranking as cosine at a third of the flops, with |c| computed
+    * once per broadcast instead of once per (vector, cell): the index build
+    * is the corpus-sized O(n · nCells · dim) pass, exactly where a 3×
+    * matters at 100 TB (and at the 10⁴-cell counts [[ivfTrainDistributed]]
+    * unlocks).
     */
   def ivfIndex(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(centroids)
+    val bc = spark.sparkContext.broadcast(unitize(centroids))
     corpus.filter(col("embedding").isNotNull)
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
       .as[(Long, Array[Float])]
-      .map { case (id, emb) => (nearestCell(emb, bc.value), id, emb) }
+      .map { case (id, emb) => (nearestCellDot(emb, bc.value), id, emb) }
       .toDF("cell", "id", "emb")
   }
 
@@ -480,9 +616,13 @@ object Similarity {
     out
   }
 
-  /** v − its coarse cell centroid: the quantity the codebooks quantize. */
-  private def residual(v: Array[Float], centroids: Array[Array[Float]]): Array[Float] =
-    subtractCentroid(v, centroids(nearestCell(v, centroids)))
+  /** v − its coarse cell centroid: the quantity the codebooks quantize.
+    * Cell assignment MUST match [[ivfIndex]]/[[ivfPqIndex]]'s (unit-dot) —
+    * train/index residual semantics must never diverge.
+    */
+  private def residual(v: Array[Float], centroids: Array[Array[Float]],
+                       unit: Array[Array[Float]]): Array[Float] =
+    subtractCentroid(v, centroids(nearestCellDot(v, unit)))
 
   /** TRAIN phase: per-subspace codebooks over RESIDUALS vs the given coarse
     * centroids, from the same seeded hash-ordered uniform sample
@@ -494,10 +634,11 @@ object Similarity {
     require(k <= 256, s"PQ code must fit one byte: k=$k > 256")
     val spark = corpus.sparkSession
     import spark.implicits._
+    val unit = unitize(centroids)
     val sample = corpus.filter(col("embedding").isNotNull)
       .orderBy(xxhash64(col("vec_id"), lit(43)), col("vec_id")).limit(sampleSize)
       .select("embedding").as[Array[Float]].collect()
-      .map(v => residual(v, centroids))
+      .map(v => residual(v, centroids, unit))
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     require(dim % nSub == 0, s"embedding dim $dim not divisible by nSub=$nSub")
@@ -555,12 +696,14 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bcC = spark.sparkContext.broadcast(centroids)
+    val bcU = spark.sparkContext.broadcast(unitize(centroids))
     val bcP = spark.sparkContext.broadcast(pq)
     corpus.filter(col("embedding").isNotNull)
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
       .as[(Long, Array[Float])]
       .map { case (id, emb) =>
-        val cell = nearestCell(emb, bcC.value)
+        // unit-dot assignment, same ranking/flops rationale as ivfIndex
+        val cell = nearestCellDot(emb, bcU.value)
         val res = subtractCentroid(emb, bcC.value(cell))
         (cell, id, pqEncode(res, bcP.value), l2norm(emb))
       }

@@ -116,6 +116,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanLine.contains("user_id") && !scanLine.contains("props"), scanLine)
   }
 
+  test("q20 sketch quantiles: approx_percentile partial-aggregates map-side, pruned scan") {
+    val plan = planOf(SparkEntry.queries("q20_approx_percentile")(spark, sfDir))
+    // same contract as q19: per-partition sketches merged after one slim
+    // exchange — never a per-group value shuffle for the sketch side
+    assert(plan.contains("approx_percentile"), plan)
+    assert(plan.contains("partial_approx_percentile")
+      || plan.contains("merge_approx_percentile"), plan)
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("l_returnflag") && scanLine.contains("l_extendedprice"), scanLine)
+    assert(!scanLine.contains("l_quantity"), scanLine)
+  }
+
   test("brute-force knn broadcasts the query side (no corpus shuffle before scoring)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = planOf(graft.operators.Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 3), 3))

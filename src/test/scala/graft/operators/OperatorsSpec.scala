@@ -269,6 +269,86 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"IVF recall@5 = $recall")
   }
 
+  test("shingle-Jaccard truth set caps oversized source blocks (never silently quadratic)") {
+    import spark.implicits._
+    val many = spark.range(30)
+      .map(i => (i, "src", s"shared text body repeated for jaccard ${i % 3}"))
+      .toDF("doc_id", "source", "text")
+    // cap 10 on a 30-doc block: pairs form only among the 10 lowest doc_ids
+    val capped = Dedup.shingleJaccardPairs(many, threshold = 0.0, maxBlock = 10).collect()
+    assert(capped.length == 45, s"expected C(10,2) pairs, got ${capped.length}")
+    assert(capped.forall(r => r.getLong(0) < 10 && r.getLong(1) < 10))
+    // blocks under the cap: identical result with and without headroom
+    def rows(maxBlock: Int) =
+      Dedup.shingleJaccardPairs(many, threshold = 0.8, maxBlock = maxBlock)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(4096) == rows(1 << 20))
+  }
+
+  test("LSH probe-time hot-bucket cap: bounded candidates still yield top-k; no-op below the cap") {
+    import spark.implicits._
+    // near-identical vectors: every table collapses them into one hot bucket
+    val hot = spark.range(500)
+      .map(i => (i, Array.tabulate(8)(d => 1.0f + (i % 5) * 1e-4f + d * 1e-3f)))
+      .toDF("vec_id", "embedding")
+    val q = hot.filter(col("vec_id") === 0)
+    def knn(maxBucket: Int) = Similarity.lshKnnIndexed(
+      Similarity.lshIndex(hot, nBits = 2, nTables = 1), Similarity.vectorTable(hot),
+      q, k = 5, nBits = 2, nTables = 1, maxBucket = maxBucket)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // a biting cap still returns k ranked results from the kept subset
+    assert(knn(16).size == 5)
+    // headroom: capped and effectively-uncapped runs are identical
+    assert(knn(4096) == knn(1 << 20))
+  }
+
+  test("distributed IVF trainer: partition-invariant centroids, recall parity on correlated ids") {
+    import spark.implicits._
+    val n = 2000L
+    val corr = spark.range(n).map(id => (id, graft.AnnScaleBench.vecCorrelated(id, n, 16, 8)))
+      .toDF("vec_id", "embedding")
+    // fixed-point accumulation makes the reduction associative-exact: the
+    // same corpus under different partitionings must train BIT-IDENTICAL
+    // centroids (the staged-model / replay-oracle contract)
+    val cs3 = Similarity.ivfTrainDistributed(corr.repartition(3), nCells = 8)
+    val cs7 = Similarity.ivfTrainDistributed(corr.repartition(7), nCells = 8)
+    assert(cs3.length == cs7.length &&
+      cs3.zip(cs7).forall { case (a, b) => java.util.Arrays.equals(a, b) },
+      "centroids differ across partitionings")
+    // full-population training must hold recall on the cluster-correlated
+    // id layout (the biased-sample failure case), like the driver trainer
+    val q = corr.filter(col("vec_id") % 250 === 0)
+    val brute = Similarity.bruteForceKnn(corr, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.ivfKnnIndexed(Similarity.ivfIndex(corr, cs3), cs3, q, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"distributed-trainer IVF recall = $recall")
+  }
+
+  test("distributed IVF trainer: hash-slice subsample is deterministic; small corpora degrade to fewer cells") {
+    import spark.implicits._
+    val n = 2000L
+    val corr = spark.range(n).map(id => (id, graft.AnnScaleBench.vecCorrelated(id, n, 16, 8)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.ivfTrainDistributed(corr, nCells = 8, sampleFraction = 0.5)
+    val b = Similarity.ivfTrainDistributed(corr, nCells = 8, sampleFraction = 0.5)
+    assert(a.zip(b).forall { case (x, y) => java.util.Arrays.equals(x, y) },
+      "hash-slice training must be deterministic")
+    // the slice is uniform (hash of vec_id): every correlated cluster still
+    // trains, so recall holds at half the training set
+    val q = corr.filter(col("vec_id") % 250 === 0)
+    val brute = Similarity.bruteForceKnn(corr, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.ivfKnnIndexed(Similarity.ivfIndex(corr, a), a, q, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"half-slice distributed-trainer recall = $recall")
+    // corpus smaller than nCells: model degrades to one centroid per vector
+    val tiny = Similarity.ivfTrainDistributed(corr.filter(col("vec_id") < 5), nCells = 8)
+    assert(tiny.length == 5)
+  }
+
   test("ANN staged indexes: parquet round-tripped LSH/IVF give identical results to one-shot") {
     val stage = graft.pipeline.Staging.tempDir("graft-ann-test")
     try {
