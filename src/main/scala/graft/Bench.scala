@@ -38,11 +38,15 @@ object Bench {
     (total, res.routeSecs, total / res.routeSecs)
   }
 
-  // queries timed per-round: EVERY operator family is represented so a
-  // regression in any of them is visible between rounds (round 3's s2
-  // regression was only caught because s2 was benched). d9/d10/d11 share
-  // d3/d4's memoized staged frames, so their rows mostly time the gate's
-  // own truth-set + join work — the marginal cost of gating, not a rebuild.
+  // EVERY registered query is timed per-round: an unbenched operator is
+  // regression-invisible (round 3's s2 regression was caught only because
+  // s2 was benched; 16 rows were still blind through round 4). The list is
+  // ordered explicitly — NOT derived from the queries map — so that shared
+  // memoized staging (d3/d4 collapse frames, the d9-d11 truth set, the
+  // s2-s8 index dirs) is paid by the same row across rounds and per-row
+  // deltas stay comparable; new rows append at the end. BenchSpec asserts
+  // this list covers SparkEntry.queries exactly, so the blind spot cannot
+  // silently reopen.
   val HeadlineQueries: Seq[String] = Seq(
     "q1_agg", "q3_join_agg", "q5_window", "q10_events_hourly", "q11_sessionize",
     "q13_rollup", "q18_count_distinct", "q19_approx_distinct",
@@ -51,7 +55,14 @@ object Bench {
     "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s5_ivf_recall", "s6_knn_ivfpq", "s7_ivfpq_recall",
     "t1_quality", "t3_langid", "t4_fingerprint", "t5_char_entropy", "t6_redact",
     "m1_multimodal_features", "l1_log_events",
-    "p1_route_counts", "p2_token_stats", "p4_conv_stats", "p5_error_signatures")
+    "p1_route_counts", "p2_token_stats", "p4_conv_stats", "p5_error_signatures",
+    // appended round 5 (formerly unbenched + the round's new surface)
+    "q2_sort_limit", "q4_multijoin", "q6_filter_agg", "q7_semi", "q8_anti",
+    "q9_setop", "q12_json_extract", "q14_percentile", "q15_corr_subquery",
+    "q16_except", "q17_union_distinct", "q20_approx_percentile",
+    "d2_norm_dedup", "d5_ngram_jaccard", "d7_embedding_lsh_recall",
+    "s4_lsh_recall", "s8_ivf_dist_recall", "t2_tokencounts",
+    "m2_multimodal_verify", "p3_per_tool")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

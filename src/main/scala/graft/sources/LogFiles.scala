@@ -63,6 +63,41 @@ object LogFiles {
       .flatMap { case (file, content) => eventsOf(file, content, bank.value) }
   }
 
+  /** Structured Streaming twin of [[events]]: `.log` files arriving in
+    * `dir` parse through the SAME per-file kernel, one micro-batch per
+    * trigger — the raw-log side of the R2 pluggable-stream symmetry
+    * [[graft.streaming.StreamingParse]] provides for transcripts (the
+    * reference's pull-stream input, /root/reference/src/lexer/
+    * lexer_stream.rs:3-5). The `binaryFile` file-stream source delivers
+    * each NEW file as one (path, content) row, so the stream needs no
+    * cross-batch state: event boundaries never cross files, and a file is
+    * parsed exactly once, in the micro-batch that discovers it —
+    * batch ≡ stream equality is by construction ([[eventsOf]] is the
+    * shared kernel) and asserted in StreamingSpec. Per-file event_idx /
+    * line numbers are file-local exactly like [[events]]. Files must
+    * arrive complete (the standard file-source contract: write elsewhere,
+    * move in); a file larger than the JVM string limit fails like the
+    * batch path does.
+    */
+  def eventsStream(spark: SparkSession, dir: String, bank: Broadcast[PatternBank],
+                   maxFilesPerTrigger: Int = 4): Dataset[LogEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      // the binaryFile format's FIXED schema — the streaming source API
+      // still requires it stated explicitly
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "*.log")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        eventsOf(path, new String(bytes, java.nio.charset.StandardCharsets.UTF_8), bank.value)
+      }
+  }
+
   /** [[events]] with the per-event token array attached. */
   def eventsWithTokens(spark: SparkSession, pathGlob: String,
                        bank: Broadcast[PatternBank]): Dataset[LogEventWithTokens] = {

@@ -156,4 +156,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming .log source parses a growing directory identically to the batch wholetext path") {
+    import spark.implicits._
+    def resource(name: String): String = {
+      val in = getClass.getResourceAsStream(s"/$name")
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-logstream").toString
+    val bank = spark.sparkContext.broadcast(PatternBank.example)
+    def writeLog(name: String, content: String): Unit = {
+      // file-source contract: write complete elsewhere, then move in
+      val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
+      java.nio.file.Files.writeString(tmp, content)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    type EventRow = (String, Int, Int, Int, Boolean, String, Int, Int, String)
+    def key(e: graft.sources.LogFiles.LogEvent): EventRow =
+      (e.file.substring(e.file.lastIndexOf('/') + 1), e.event_idx, e.line_start, e.line_end,
+        e.has_timestamp, e.first_ts, e.n_tokens, e.n_errors, e.text)
+
+    writeLog("a.log", resource("hive-24h.log"))
+    val stream = graft.sources.LogFiles.eventsStream(spark, dir, bank, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("log_events")
+      .start()
+    try {
+      q.processAllAvailable()
+      // a second file arrives AFTER the stream started: only the new file's
+      // events may be appended (exactly-once per file, no re-parse of a.log)
+      writeLog("b.log", resource("hive-24h_large.log"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM log_events")
+        .as[graft.sources.LogFiles.LogEvent].collect().map(key).sorted.toSeq
+      val want = graft.sources.LogFiles.events(spark, s"$dir/*.log", bank)
+        .collect().map(key).sorted.toSeq
+      assert(got == want, s"stream rows=${got.length} batch rows=${want.length}")
+      assert(got.count(_._1 == "a.log") > 0 && got.count(_._1 == "b.log") > 0)
+      // lossless across the stream too: concat(texts) per file == file bytes
+      val aText = got.filter(_._1 == "a.log").sortBy(_._2).map(_._9).mkString
+      assert(aText == resource("hive-24h.log"))
+    } finally q.stop()
+  }
 }
