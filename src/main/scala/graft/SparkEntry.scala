@@ -86,11 +86,24 @@ object SparkEntry {
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val hits = approx.select("id_a", "id_b").join(truth, Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("hits"))
-    nTrue.crossJoin(hits).select(col("n_true").as("n_true_pairs"),
-      when(col("n_true") === 0L, lit(true))
-        .otherwise(col("hits").cast("double") / col("n_true") >= minRecall)
-        .as("recall_pass"))
+    nTrue.crossJoin(hits).crossJoin(truthCapFlag(s, dir))
+      .select(col("n_true").as("n_true_pairs"),
+        when(col("n_true") === 0L, lit(true))
+          .otherwise(col("hits").cast("double") / col("n_true") >= minRecall)
+          .as("recall_pass"),
+        col("truth_capped"))
   }
+
+  /** Did any source block exceed the truth set's per-block cap? The
+    * d9/d10/d11 oracles pin this FALSE, so a corpus big enough to trip
+    * [[Dedup.TruthMaxBlock]] turns those gates RED (hash mismatch) instead
+    * of silently grading recall on a biased lowest-id sample — the
+    * validation-scale contract made loud.
+    */
+  private def truthCapFlag(s: SparkSession, dir: String): DataFrame =
+    docsWithDups(s, dir).groupBy("source").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("mx"))
+      .select((col("mx") > Dedup.TruthMaxBlock).as("truth_capped"))
 
   /** Staged-query memo for the d3/d4 eager-staging builders: one staged
     * frame per (query, sfDir, session). Without it, every invocation of the
@@ -192,24 +205,32 @@ object SparkEntry {
   }
 
   /** IVF kNN through a parquet-staged index + centroid model (shared per
-    * corpus like the LSH index).
+    * corpus like the LSH index). ONE staging recipe parameterized by the
+    * trainer: s3 (driver Lloyd) and s8 (executor-side Lloyd) must stay the
+    * SAME staged contract — index partitioned on cell (the probe join's
+    * broadcast side dynamically prunes the scan to the nProbe cells
+    * actually probed), centroid model beside it, k=5/nProbe=6 — or the
+    * s3-vs-s8 comparison stops meaning "same index, different trainer".
     */
-  private def ivfDir(emb: DataFrame): String =
-    cachedIndexDir("ivf", emb) { d =>
-      val cs = Similarity.ivfTrain(emb, nCells = 16)
-      // partitioned on cell: the probe join's broadcast side dynamically
-      // prunes the index scan to the nProbe cells actually probed
+  private def ivfStagedDir(method: String, emb: DataFrame)
+                          (train: DataFrame => Array[Array[Float]]): String =
+    cachedIndexDir(method, emb) { d =>
+      val cs = train(emb)
       Similarity.ivfIndex(emb, cs).write.partitionBy("cell").parquet(s"$d/ivf")
       Similarity.centroidsToDf(emb.sparkSession, cs).write.parquet(s"$d/centroids")
     }
 
-  private def stagedIvfKnn(emb: DataFrame, q: DataFrame): DataFrame = {
-    val dir = ivfDir(emb)
+  private def stagedIvfFrom(dir: String, spark: SparkSession, q: DataFrame): DataFrame =
     Similarity.ivfKnnIndexed(
-      emb.sparkSession.read.parquet(s"$dir/ivf"),
-      Similarity.centroidsFromDf(emb.sparkSession.read.parquet(s"$dir/centroids")),
+      spark.read.parquet(s"$dir/ivf"),
+      Similarity.centroidsFromDf(spark.read.parquet(s"$dir/centroids")),
       q, k = 5, nProbe = 6)
-  }
+
+  private def ivfDir(emb: DataFrame): String =
+    ivfStagedDir("ivf", emb)(Similarity.ivfTrain(_, nCells = 16))
+
+  private def stagedIvfKnn(emb: DataFrame, q: DataFrame): DataFrame =
+    stagedIvfFrom(ivfDir(emb), emb.sparkSession, q)
 
   /** The centroid model of the staged IVF index the s3/s5 queries run
     * against — Verify's sequential replay oracle scores candidates with the
@@ -222,19 +243,12 @@ object SparkEntry {
 
   /** IVF through the EXECUTOR-SIDE trainer (full-population distributed
     * Lloyd) — the s8 gate puts the scale trainer on the driver correctness
-    * signal with the same staged contract as s3/s5.
+    * signal with the same staged contract as s3/s5 (shared recipe above).
     */
-  private def stagedIvfDistKnn(emb: DataFrame, q: DataFrame): DataFrame = {
-    val dir = cachedIndexDir("ivfdist", emb) { d =>
-      val cs = Similarity.ivfTrainDistributed(emb, nCells = 16)
-      Similarity.ivfIndex(emb, cs).write.partitionBy("cell").parquet(s"$d/ivf")
-      Similarity.centroidsToDf(emb.sparkSession, cs).write.parquet(s"$d/centroids")
-    }
-    Similarity.ivfKnnIndexed(
-      emb.sparkSession.read.parquet(s"$dir/ivf"),
-      Similarity.centroidsFromDf(emb.sparkSession.read.parquet(s"$dir/centroids")),
-      q, k = 5, nProbe = 6)
-  }
+  private def stagedIvfDistKnn(emb: DataFrame, q: DataFrame): DataFrame =
+    stagedIvfFrom(
+      ivfStagedDir("ivfdist", emb)(Similarity.ivfTrainDistributed(_, nCells = 16)),
+      emb.sparkSession, q)
 
   /** IVF-PQ kNN through a parquet-staged compressed index: coarse centroids
     * + per-subspace codebooks + (cell, id, codes, norm) rows + the
@@ -539,10 +553,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_true"),
           sum(when(col("rep_a").isNotNull && col("rep_a") === col("rep_b"), 1L)
             .otherwise(0L)).as("same"))
+        .crossJoin(truthCapFlag(s, dir))
         .select(col("n_true").as("n_true_pairs"),
           when(col("n_true") === 0L, lit(true))
             .otherwise(col("same").cast("double") / col("n_true") >= 0.95)
-            .as("cluster_recall_pass"))
+            .as("cluster_recall_pass"),
+          col("truth_capped"))
     }),
     "d5_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithDups(s, dir), n = 3, threshold = 0.5).orderBy("id_a", "id_b")),
@@ -858,7 +874,7 @@ object SparkEntry {
         |p AS (SELECT len(list_intersect(a.sh,b.sh))*1.0 /
         |    (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) AS j
         |  FROM g a JOIN g b ON a.source=b.source AND a.doc_id<b.doc_id)
-        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_pass FROM p WHERE j >= 0.8""".stripMargin,
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_pass, false AS truth_capped FROM p WHERE j >= 0.8""".stripMargin,
     "d10_simhash_recall" ->
       s"""WITH docs AS ($DocsWithDupsSql),
         |nrm AS (SELECT doc_id, source, trim(regexp_replace(lower(text),'\\s+',' ','g')) AS s FROM docs
@@ -868,7 +884,7 @@ object SparkEntry {
         |p AS (SELECT len(list_intersect(a.sh,b.sh))*1.0 /
         |    (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) AS j
         |  FROM g a JOIN g b ON a.source=b.source AND a.doc_id<b.doc_id)
-        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_pass FROM p WHERE j >= 0.8""".stripMargin,
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_pass, false AS truth_capped FROM p WHERE j >= 0.8""".stripMargin,
     "d11_dedup_pipeline" ->
       s"""WITH docs AS ($DocsWithDupsSql),
         |nrm AS (SELECT doc_id, source, trim(regexp_replace(lower(text),'\\s+',' ','g')) AS s FROM docs
@@ -878,7 +894,7 @@ object SparkEntry {
         |p AS (SELECT len(list_intersect(a.sh,b.sh))*1.0 /
         |    (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) AS j
         |  FROM g a JOIN g b ON a.source=b.source AND a.doc_id<b.doc_id)
-        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS cluster_recall_pass FROM p WHERE j >= 0.8""".stripMargin,
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS cluster_recall_pass, false AS truth_capped FROM p WHERE j >= 0.8""".stripMargin,
     "t4_fingerprint" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws FROM documents),

@@ -483,13 +483,17 @@ object Dedup {
     * corpus at this gate degrades it to a (deterministic, documented)
     * lowest-id sample per block instead of silently going quadratic —
     * within-block work is bounded by maxBlock². The d9/d10/d11 DuckDB
-    * oracles mirror the cap (QUALIFY row_number() per source). When the cap
-    * bites, the gate grades recall on the sampled blocks only — fine for a
-    * validation gate, meaningless as a production dedup (use the LSH paths
-    * for that).
+    * oracles mirror the cap (QUALIFY row_number() per source). A LOWEST-ID
+    * sample is deliberately NOT an unbiased one (on id-correlated corpora it
+    * can drop exactly the duplicate rows a gate wants to find), so a capped
+    * truth set must never grade silently: the d9/d10/d11 gates carry a
+    * `truth_capped` flag whose oracle pins FALSE — a corpus big enough to
+    * trip the cap turns those gates red instead of vacuously green.
     */
+  val TruthMaxBlock = 4096
+
   def shingleJaccardPairs(documents: DataFrame, k: Int = 5,
-                          threshold: Double = 0.8, maxBlock: Int = 4096): DataFrame = {
+                          threshold: Double = 0.8, maxBlock: Int = TruthMaxBlock): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val wB = Window.partitionBy("source").orderBy("doc_id")

@@ -402,25 +402,43 @@ object Similarity {
     * schema, never a corner (/root/reference/src/dfa/dfa.rs:250-413).
     */
   def ivfTrainDistributed(corpus: DataFrame, nCells: Int, iterations: Int = 5,
-                          sampleFraction: Double = 1.0): Array[Array[Float]] = {
+                          sampleFraction: Double = 1.0,
+                          /** Cache the training set across Lloyd passes (it
+                            * is read iterations+1 times). Right whenever the
+                            * (sliced) training set fits executor storage —
+                            * the validation/bench regime; at corpus scales
+                            * beyond storage pass false and stream each pass
+                            * instead (a build-time job re-scanning an
+                            * uncacheable corpus is intended behavior there,
+                            * caching it would spill the corpus to disk).
+                            */
+                          cacheTraining: Boolean = true): Array[Array[Float]] = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0, s"bad sampleFraction $sampleFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
     val Q = 1L << 24
     val nonNull = corpus.filter(col("embedding").isNotNull)
+    // UNSIGNED hash key for BOTH the init ordering and the slice filter: the
+    // slice keeps the unsigned-lowest `sampleFraction` of hashes, so ordering
+    // init by the same unsigned key makes the nCells seeds the slice's own
+    // head — seeds are inside the training set by construction for any
+    // fraction (a signed orderBy would put the most-negative hashes first,
+    // which the unsigned slice EXCLUDES for fractions <= 0.5, leaving seed
+    // centroids frozen untrained in empty cells)
+    val hashKey = shiftrightunsigned(xxhash64(col("vec_id"), lit(41)), 11)
     val init = nonNull
-      .orderBy(xxhash64(col("vec_id"), lit(41)), col("vec_id")).limit(nCells)
+      .orderBy(hashKey, col("vec_id")).limit(nCells)
       .select("embedding").as[Array[Float]].collect()
     require(init.nonEmpty, "empty corpus")
     val dim = init.head.length
-    // same seed as the init ordering: the hash-slice keeps the lowest-hash
-    // fraction, so the init rows are inside the training set by construction
     val training = (if (sampleFraction >= 1.0) nonNull
       else nonNull.filter(
-        shiftrightunsigned(xxhash64(col("vec_id"), lit(41)), 11).cast("double")
-          / lit((1L << 53).toDouble) < sampleFraction))
+        hashKey.cast("double") / lit((1L << 53).toDouble) < sampleFraction))
       .select(col("embedding")).as[Array[Float]]
-
+    if (cacheTraining) {
+      training.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    try {
     var centroids = init
     var it = 0
     while (it < iterations) {
@@ -459,6 +477,7 @@ object Similarity {
       it += 1
     }
     centroids
+    } finally if (cacheTraining) training.unpersist(blocking = false)
   }
 
   /** BUILD phase: assign every corpus vector to its nearest centroid cell —

@@ -269,6 +269,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"IVF recall@5 = $recall")
   }
 
+  test("auto-stage probe is bounded: threshold test reads ~one partition, not a full extra pass") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("docsRead")
+    val n = 50000
+    // acc counts rows MATERIALIZED from this plan; 50 partitions so the
+    // probe's limit job can stop after one
+    val docs = spark.range(n).repartition(50)
+      .map { i => acc.add(1); (i, s"unique text body number $i with no duplicates") }
+      .toDF("doc_id", "text")
+    spark.conf.set(Dedup.AutoStageMinDocsConf, "10")
+    try {
+      Dedup.minhashPairs(docs) // construction runs the probe + the auto-stage write
+      val reads = acc.value
+      // one full pass is the staging write itself; the probe may add at most
+      // a few partitions (limit job), never a second full pass (the round-4
+      // probe ran documents.count() — 2n reads on a computed plan like this)
+      assert(reads >= n, s"expected the auto-stage write to run (reads=$reads)")
+      assert(reads <= n + 5000,
+        s"probe not bounded: $reads rows materialized during construction of a $n-row corpus")
+    } finally spark.conf.unset(Dedup.AutoStageMinDocsConf)
+  }
+
   test("shingle-Jaccard truth set caps oversized source blocks (never silently quadratic)") {
     import spark.implicits._
     val many = spark.range(30)
