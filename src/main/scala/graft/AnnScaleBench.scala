@@ -182,6 +182,32 @@ object AnnScaleBench {
         idx4k.unpersist()
         println(f"[ann-scale] ivf-dist recall@10=$recallDist%.3f vs 64-cell $recallRaw%.3f " +
           "(equal probe fraction 12.5%)")
+
+        // TWO-LEVEL at cells == natural clusters: 65,536 cells (256 supers
+        // × 256 children each). FLAT assignment at this cell count costs
+        // n × nCells × dim ≈ 4e12 dot-mults (minutes of cluster time per
+        // build); the two-level router costs n × (nSuper + topSuper·kChild)
+        // = 85× less. The payoff that matters at 100 TB: with cells
+        // coinciding with clusters, probing 64 of 65,536 cells touches
+        // ~0.1% of the corpus per query.
+        val t2l = System.nanoTime()
+        val m2l = Similarity.ivfTrainTwoLevel(embFine, nCells = 65536, nSuper = 256,
+          iterations = 3, sampleFraction = 0.25)
+        println(f"[ann-scale] ivf-2l-train nCells=65536 nSuper=256 iters=3 frac=0.25 " +
+          f"wall=${(System.nanoTime() - t2l) / 1e9}%.1fs driverModel=${65536L * 64 * 4 / 1e6}%.1fMB")
+        val tIdx2 = System.nanoTime()
+        val idx2l = Similarity.ivfIndexTwoLevel(embFine, m2l).persist()
+        idx2l.count()
+        println(f"[ann-scale] ivf-2l-index-build wall=${(System.nanoTime() - tIdx2) / 1e9}%.1fs " +
+          "(routed assignment: 768 dots/vector vs 65,536 flat)")
+        for (np <- Seq(64, 512)) {
+          val got = run(s"ivf-2l-probe$np")(
+            Similarity.ivfKnnTwoLevelIndexed(idx2l, m2l, qFine, k = 10, nProbe = np, nProbeSuper = 8))
+          val r = got.intersect(bruteFine).size.toDouble / bruteFine.size
+          println(f"[ann-scale] ivf-2l recall@10=$r%.3f at nProbe=$np/65536 " +
+            f"(probe fraction ${np / 655.36}%.2f%%)")
+        }
+        idx2l.unpersist()
       } finally graft.pipeline.Staging.deleteRecursively(stagePq)
       embFine.unpersist()
 

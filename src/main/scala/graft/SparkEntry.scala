@@ -250,6 +250,27 @@ object SparkEntry {
       ivfStagedDir("ivfdist", emb)(Similarity.ivfTrainDistributed(_, nCells = 16)),
       emb.sparkSession, q)
 
+  /** TWO-LEVEL IVF through its staged contract (super-partitioned index +
+    * parquet model) — the s9 gate drives the hierarchical router end to
+    * end. Operating point: the validation corpus is near-random (no cluster
+    * structure for the router to exploit — supers are arbitrary Voronoi
+    * cuts), so it probes 3 of 4 supers to stay at the flat path's
+    * cell-miss-bounded recall; the regime the hierarchy EXISTS for (cells ≈
+    * clusters, nSuper ≫ probed supers) is measured in AnnScaleBench at
+    * 65,536 cells.
+    */
+  private def stagedIvfTwoLevelKnn(emb: DataFrame, q: DataFrame): DataFrame = {
+    val dir = cachedIndexDir("ivf2l", emb) { d =>
+      val m = Similarity.ivfTrainTwoLevel(emb, nCells = 16, nSuper = 4)
+      Similarity.ivfIndexTwoLevel(emb, m).write.partitionBy("super").parquet(s"$d/ivf")
+      Similarity.twoLevelToDf(emb.sparkSession, m).write.parquet(s"$d/model")
+    }
+    Similarity.ivfKnnTwoLevelIndexed(
+      emb.sparkSession.read.parquet(s"$dir/ivf"),
+      Similarity.twoLevelFromDf(emb.sparkSession.read.parquet(s"$dir/model")),
+      q, k = 5, nProbe = 6, nProbeSuper = 3)
+  }
+
   /** IVF-PQ kNN through a parquet-staged compressed index: coarse centroids
     * + per-subspace codebooks + (cell, id, codes, norm) rows + the
     * single-copy vector table for the exact re-rank. The scan side of a
@@ -623,6 +644,10 @@ object SparkEntry {
     // 100 TB index needs, graded on the driver signal like s5
     "s8_ivf_dist_recall" -> ((s, dir) =>
       annRecall(tbl(s, dir, "embeddings"), stagedIvfDistKnn, minRecall = 0.6)),
+    // s9: the two-level (hierarchical) coarse quantizer — the 10⁴–10⁵-cell
+    // assignment/probe path — behind the same staged contract + recall gate
+    "s9_ivf_twolevel_recall" -> ((s, dir) =>
+      annRecall(tbl(s, dir, "embeddings"), stagedIvfTwoLevelKnn, minRecall = 0.6)),
     // s6/s7: the product-quantized IVF path (compressed codes scanned, raw
     // vectors touched only by the bounded exact re-rank) through the same
     // staged-parquet contract and recall gate as s2-s5
@@ -943,6 +968,8 @@ object SparkEntry {
     "s7_ivfpq_recall" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
     "s8_ivf_dist_recall" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
+    "s9_ivf_twolevel_recall" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
     // {M1_VALUES} = Verify's sequential no-Spark replay of the same
     // deterministic asset generation + decode, substituted at dump time

@@ -314,28 +314,9 @@ object Similarity {
       .orderBy(xxhash64(col("vec_id"), lit(41)), col("vec_id")).limit(sampleSize)
       .select("embedding").as[Array[Float]].collect()
     require(sample.nonEmpty, "empty corpus")
-    val dim = sample.head.length
-    // init: evenly-strided sample vectors; refine with Lloyd iterations
-    var centroids = Array.tabulate(math.min(nCells, sample.length)) { c =>
-      sample((c.toLong * sample.length / math.min(nCells, sample.length)).toInt).clone()
-    }
-    var it = 0
-    while (it < iterations) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Int](centroids.length)
-      sample.foreach { v =>
-        val c = nearestCell(v, centroids)
-        counts(c) += 1
-        var i = 0
-        while (i < dim) { sums(c)(i) += v(i); i += 1 }
-      }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
-      }.toArray
-      it += 1
-    }
-    centroids
+    // evenly-strided init + Lloyd refinement (shared with the two-level
+    // trainer's per-super-cell child training)
+    lloydCos(sample, nCells, iterations)
   }
 
   /** Unit-normalized copies of the centroids: argmax over cells of
@@ -533,6 +514,216 @@ object Similarity {
              iterations: Int = 5): DataFrame = {
     val centroids = ivfTrain(corpus, nCells, sampleSize, iterations)
     ivfKnnIndexed(ivfIndex(corpus, centroids), centroids, queries, k, nProbe)
+  }
+
+  // ------------------------------------------------ two-level IVF (10⁵ cells) --
+
+  /** Two-level coarse quantizer: `nSuper` super-cells, each with
+    * `nCells/nSuper` child cells; the flat cell id of (super s, child c) is
+    * `s·kChild + c`. This is what takes IVF past the flat quantizer's two
+    * O(nCells) walls: assignment/probing cost nSuper + topSuper·kChild dot
+    * products per vector instead of nCells (85× fewer at 65,536 cells with
+    * the defaults), and child training is a per-super-cell LOCAL Lloyd that
+    * runs as one executor task per super-cell instead of a driver loop over
+    * every cell. Routing through a parent is the standard two-level IVF
+    * approximation: a vector near a super-cell boundary may belong to a
+    * child of the OTHER super, so assignment and probing both descend into
+    * the `topSuper` nearest supers rather than one (the knob that trades
+    * routing loss for cost — measured in AnnScaleBench).
+    */
+  final case class IvfTwoLevel(superCentroids: Array[Array[Float]],
+                               children: Array[Array[Array[Float]]]) extends Serializable {
+    def nSuper: Int = superCentroids.length
+    def kChild: Int = children(0).length
+    def nCells: Int = nSuper * kChild
+    /** Pre-unitized router copies (computed once, broadcast with the model). */
+    @transient lazy val superUnit: Array[Array[Float]] = unitize(superCentroids)
+    @transient lazy val childUnit: Array[Array[Array[Float]]] = children.map(unitize)
+
+    /** Flat cell id of v: best child (by unit-dot) among the `topSuper`
+      * nearest supers' children.
+      */
+    def assign(v: Array[Float], topSuper: Int): Int = {
+      val top = topSupers(v, topSuper)
+      var best = -1; var bestS = Double.MinValue
+      var i = 0
+      while (i < top.length) {
+        val s = top(i)
+        val c = nearestCellDot(v, childUnit(s))
+        val u = childUnit(s)(c); var d = 0.0; var j = 0
+        val lim = math.min(v.length, u.length)
+        while (j < lim) { d += v(j).toDouble * u(j); j += 1 }
+        if (d > bestS) { bestS = d; best = s * kChild + c }
+        i += 1
+      }
+      best
+    }
+
+    /** The `n` nearest supers by unit-dot, best first (deterministic:
+      * stable sort, lower super id wins ties).
+      */
+    def topSupers(v: Array[Float], n: Int): Array[Int] =
+      superUnit.indices.map { s =>
+        val u = superUnit(s); var d = 0.0; var j = 0
+        val lim = math.min(v.length, u.length)
+        while (j < lim) { d += v(j).toDouble * u(j); j += 1 }
+        (s, d)
+      }.sortBy(-_._2).take(math.min(n, nSuper)).map(_._1).toArray
+  }
+
+  /** Driver-side Lloyd under cosine over an in-memory sample — the loop
+    * [[ivfTrain]] runs, extracted so per-super-cell child training can run
+    * the SAME deterministic routine inside one executor task per group.
+    */
+  private def lloydCos(sample: Array[Array[Float]], k: Int, iterations: Int): Array[Array[Float]] = {
+    val dim = sample.head.length
+    var centroids = Array.tabulate(math.min(k, sample.length)) { c =>
+      sample((c.toLong * sample.length / math.min(k, sample.length)).toInt).clone()
+    }
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCell(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** TRAIN phase, two-level: distributed Lloyd for the supers
+    * ([[ivfTrainDistributed]] — deterministic fixed-point reduction), then
+    * one executor task per super-cell running a local Lloyd over that
+    * super's (hash-capped) training members. Driver memory holds the model
+    * only. Determinism: members sort by (unsigned hash, id) before the cap
+    * and by id before Lloyd, so each child codebook is a pure function of
+    * the corpus. Supers with no training members keep copies of the super
+    * centroid as children (deterministic; their cells stay empty unless
+    * index-time routing sends boundary vectors there).
+    */
+  def ivfTrainTwoLevel(corpus: DataFrame, nCells: Int, nSuper: Int = 256,
+                       iterations: Int = 3, sampleFraction: Double = 1.0,
+                       maxPerSuper: Int = 1 << 17): IvfTwoLevel = {
+    require(nCells % nSuper == 0, s"nCells=$nCells must be a multiple of nSuper=$nSuper")
+    val kChild = nCells / nSuper
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val supers = ivfTrainDistributed(corpus, nSuper, iterations, sampleFraction)
+    val bcU = spark.sparkContext.broadcast(unitize(supers))
+    val hashKey = shiftrightunsigned(xxhash64(col("vec_id"), lit(41)), 11)
+    val training = (if (sampleFraction >= 1.0) corpus.filter(col("embedding").isNotNull)
+      else corpus.filter(col("embedding").isNotNull).filter(
+        hashKey.cast("double") / lit((1L << 53).toDouble) < sampleFraction))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val childRows = training
+      .groupByKey { case (_, v) => nearestCellDot(v, bcU.value) }
+      .mapGroups { (superId, it) =>
+        val members = it.toArray
+        // deterministic unbiased cap: unsigned-hash order, then id-sorted
+        // for the sequential Lloyd
+        val kept =
+          (if (members.length <= maxPerSuper) members
+           else members.sortBy { case (id, _) =>
+             (org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L) ^ Long.MinValue, id)
+           }.take(maxPerSuper))
+          .sortBy(_._1).map(_._2)
+        (superId, lloydCos(kept, kChild, iterations))
+      }.collect().toMap
+    IvfTwoLevel(supers, Array.tabulate(nSuper) { s =>
+      childRows.getOrElse(s, Array.empty) match {
+        case cs if cs.length == kChild => cs
+        // empty/underfull super: pad with super-centroid copies so every
+        // flat cell id exists
+        case cs => cs ++ Array.fill(kChild - cs.length)(supers(s).clone())
+      }
+    })
+  }
+
+  /** BUILD phase, two-level: one pass, nSuper + topSuper·kChild dots per
+    * vector. Output (super, cell, id, emb) — persist with
+    * `.write.partitionBy("super")` so the probe join's broadcast side
+    * partition-prunes the scan to the probed supers (partitioning on the
+    * flat cell would create nCells directories — 10⁵ files is a filesystem
+    * antipattern; the super level is the right granularity).
+    */
+  def ivfIndexTwoLevel(corpus: DataFrame, model: IvfTwoLevel, topSuper: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val cell = bc.value.assign(emb, topSuper)
+        (cell / bc.value.kChild, cell, id, emb)
+      }
+      .toDF("super", "cell", "id", "emb")
+  }
+
+  /** QUERY phase, two-level: probe the best `nProbe` cells found among the
+    * `nProbeSuper` nearest supers' children (ranked by unit-dot — the same
+    * router the index used), then the standard slim probe join + exact
+    * re-rank. Probe cost per query: nSuper + nProbeSuper·kChild dots, not
+    * nCells.
+    */
+  def ivfKnnTwoLevelIndexed(index: DataFrame, model: IvfTwoLevel, queries: DataFrame,
+                            k: Int = 5, nProbe: Int = 8, nProbeSuper: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val probes = queries.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, emb) =>
+        val m = bc.value
+        val scored = m.topSupers(emb, nProbeSuper).iterator.flatMap { s =>
+          m.childUnit(s).indices.iterator.map { c =>
+            val u = m.childUnit(s)(c); var d = 0.0; var j = 0
+            val lim = math.min(emb.length, u.length)
+            while (j < lim) { d += emb(j).toDouble * u(j); j += 1 }
+            (s, s * m.kChild + c, d)
+          }
+        }.toVector
+        scored.sortBy { case (_, cell, d) => (-d, cell) }.take(nProbe)
+          .map { case (s, cell, _) => (s, cell, qid, emb) }
+      }.toDF("super", "cell", "query_id", "q_emb")
+
+    val scored = index.join(broadcast(probes), Seq("super", "cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine_similarity(col("q_emb"), col("emb")).as("score"))
+      .groupBy("query_id", "neighbor_id").agg(max("score").as("score"))
+    topK(scored, k)
+  }
+
+  /** Two-level model ↔ DataFrame converters (same staged-parquet lifecycle
+    * as [[centroidsToDf]]): child rows are (super, child, centroid), the
+    * super row is (super, -1, centroid).
+    */
+  def twoLevelToDf(spark: SparkSession, m: IvfTwoLevel): DataFrame = {
+    import spark.implicits._
+    val rows =
+      m.superCentroids.zipWithIndex.map { case (c, s) => (s, -1, c) } ++
+        (for { s <- m.children.indices; c <- m.children(s).indices }
+          yield (s, c, m.children(s)(c)))
+    rows.toSeq.toDF("super", "child", "centroid")
+  }
+
+  def twoLevelFromDf(df: DataFrame): IvfTwoLevel = {
+    val rows = df.select("super", "child", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val supers = rows.filter(_._2 == -1).sortBy(_._1).map(_._3)
+    val kids = rows.filter(_._2 >= 0)
+    IvfTwoLevel(supers,
+      Array.tabulate(supers.length)(s => kids.filter(_._1 == s).sortBy(_._2).map(_._3)))
   }
 
   /** Centroid model ↔ DataFrame converters, so a staged IVF index is fully

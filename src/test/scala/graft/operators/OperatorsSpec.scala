@@ -371,6 +371,43 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tiny.length == 5)
   }
 
+  test("two-level IVF: partition-invariant model, routed recall on clustered ids, staged round trip") {
+    import spark.implicits._
+    val n = 2000L
+    val corr = spark.range(n).map(id => (id, graft.AnnScaleBench.vecCorrelated(id, n, 16, 8)))
+      .toDF("vec_id", "embedding")
+    def flatEq(a: Similarity.IvfTwoLevel, b: Similarity.IvfTwoLevel): Boolean =
+      a.superCentroids.zip(b.superCentroids).forall { case (x, y) => java.util.Arrays.equals(x, y) } &&
+        a.children.zip(b.children).forall { case (cs, ds) =>
+          cs.zip(ds).forall { case (x, y) => java.util.Arrays.equals(x, y) } }
+    val m3 = Similarity.ivfTrainTwoLevel(corr.repartition(3), nCells = 16, nSuper = 4)
+    val m7 = Similarity.ivfTrainTwoLevel(corr.repartition(7), nCells = 16, nSuper = 4)
+    assert(flatEq(m3, m7), "two-level model differs across partitionings")
+    // recall through the ROUTED path (2 of 4 supers probed) on the
+    // well-separated clustered corpus — routing must find the right branch
+    val q = corr.filter(col("vec_id") % 250 === 0)
+    val brute = Similarity.bruteForceKnn(corr, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val idx = Similarity.ivfIndexTwoLevel(corr, m3)
+    val got = Similarity.ivfKnnTwoLevelIndexed(idx, m3, q, k = 5, nProbe = 4, nProbeSuper = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"two-level routed recall = $recall")
+    // model survives the parquet round trip bit-identically, and the staged
+    // index + model reproduce the in-memory results exactly
+    val stage = graft.pipeline.Staging.tempDir("graft-2l-test")
+    try {
+      Similarity.twoLevelToDf(spark, m3).write.parquet(s"$stage/model")
+      idx.write.partitionBy("super").parquet(s"$stage/ivf")
+      val mBack = Similarity.twoLevelFromDf(spark.read.parquet(s"$stage/model"))
+      assert(flatEq(m3, mBack), "model changed through parquet")
+      val gotStaged = Similarity.ivfKnnTwoLevelIndexed(
+        spark.read.parquet(s"$stage/ivf"), mBack, q, k = 5, nProbe = 4, nProbeSuper = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(gotStaged == got)
+    } finally graft.pipeline.Staging.deleteRecursively(stage)
+  }
+
   test("ANN staged indexes: parquet round-tripped LSH/IVF give identical results to one-shot") {
     val stage = graft.pipeline.Staging.tempDir("graft-ann-test")
     try {
