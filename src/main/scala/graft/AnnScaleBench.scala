@@ -208,6 +208,23 @@ object AnnScaleBench {
             f"(probe fraction ${np / 655.36}%.2f%%)")
         }
         idx2l.unpersist()
+
+        // COMPOSED: router + PQ codes — 65,536 cells of nSub+4 B/vector.
+        // The scan side at 0.1% probe fraction reads compressed code rows
+        // only; raw vectors are touched by the bounded exact re-rank.
+        val tPq2 = System.nanoTime()
+        val pq2l = Similarity.pqTrainTwoLevel(embFine, m2l, nSub = 8, k = 256,
+          sampleSize = 2048)
+        val idxPq2l = Similarity.ivfPqIndexTwoLevel(embFine, m2l, pq2l).persist()
+        idxPq2l.count()
+        println(f"[ann-scale] ivf-2lpq-build wall=${(System.nanoTime() - tPq2) / 1e9}%.1fs")
+        val gotPq2l = run("ivf-2lpq-probe64")(Similarity.ivfPqKnnTwoLevelIndexed(
+          idxPq2l, m2l, pq2l, Similarity.vectorTable(embFine), qFine,
+          k = 10, nProbe = 64, nProbeSuper = 8, rerank = 8))
+        val rPq2l = gotPq2l.intersect(bruteFine).size.toDouble / bruteFine.size
+        idxPq2l.unpersist()
+        println(f"[ann-scale] ivf-2lpq recall@10=$rPq2l%.3f at nProbe=64/65536 " +
+          "(compressed scan + routed probes)")
       } finally graft.pipeline.Staging.deleteRecursively(stagePq)
       embFine.unpersist()
 

@@ -61,7 +61,8 @@ object Bench {
     "q9_setop", "q12_json_extract", "q14_percentile", "q15_corr_subquery",
     "q16_except", "q17_union_distinct", "q20_approx_percentile",
     "d2_norm_dedup", "d5_ngram_jaccard", "d7_embedding_lsh_recall",
-    "s4_lsh_recall", "s8_ivf_dist_recall", "s9_ivf_twolevel_recall", "t2_tokencounts",
+    "s4_lsh_recall", "s8_ivf_dist_recall", "s9_ivf_twolevel_recall",
+    "s10_ivfpq_twolevel_recall", "t2_tokencounts",
     "m2_multimodal_verify", "p3_per_tool")
 
   def main(args: Array[String]): Unit = {

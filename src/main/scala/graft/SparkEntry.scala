@@ -271,6 +271,29 @@ object SparkEntry {
       q, k = 5, nProbe = 6, nProbeSuper = 3)
   }
 
+  /** The COMPOSED scale layout — two-level router over PQ codes — through
+    * its staged contract: super-partitioned compressed index, parquet
+    * model + codebooks, bucketed vector table for the exact re-rank. Same
+    * operating point as s7 (nSub=16, rerank=40) plus s9's routing.
+    */
+  private def stagedIvfPqTwoLevelKnn(emb: DataFrame, q: DataFrame): DataFrame = {
+    val dir = cachedIndexDir("ivfpq2l", emb) { d =>
+      val m = Similarity.ivfTrainTwoLevel(emb, nCells = 16, nSuper = 4)
+      val pq = Similarity.pqTrainTwoLevel(emb, m, nSub = 16, k = 16)
+      Similarity.ivfPqIndexTwoLevel(emb, m, pq).write.partitionBy("super").parquet(s"$d/ivfpq")
+      Similarity.twoLevelToDf(emb.sparkSession, m).write.parquet(s"$d/model")
+      Similarity.pqModelToDf(emb.sparkSession, pq).write.parquet(s"$d/pqmodel")
+      Similarity.vectorTableBucketed(emb).write.partitionBy("id_bucket").parquet(s"$d/vectors")
+    }
+    val spark = emb.sparkSession
+    Similarity.ivfPqKnnTwoLevelIndexed(
+      spark.read.parquet(s"$dir/ivfpq"),
+      Similarity.twoLevelFromDf(spark.read.parquet(s"$dir/model")),
+      Similarity.pqModelFromDf(spark.read.parquet(s"$dir/pqmodel")),
+      spark.read.parquet(s"$dir/vectors"),
+      q, k = 5, nProbe = 6, nProbeSuper = 3, rerank = 40)
+  }
+
   /** IVF-PQ kNN through a parquet-staged compressed index: coarse centroids
     * + per-subspace codebooks + (cell, id, codes, norm) rows + the
     * single-copy vector table for the exact re-rank. The scan side of a
@@ -648,6 +671,10 @@ object SparkEntry {
     // assignment/probe path — behind the same staged contract + recall gate
     "s9_ivf_twolevel_recall" -> ((s, dir) =>
       annRecall(tbl(s, dir, "embeddings"), stagedIvfTwoLevelKnn, minRecall = 0.6)),
+    // s10: router + compressed codes composed (two-level IVF-PQ) — the
+    // full 100 TB serving layout, gated like s7/s9
+    "s10_ivfpq_twolevel_recall" -> ((s, dir) =>
+      annRecall(tbl(s, dir, "embeddings"), stagedIvfPqTwoLevelKnn, minRecall = 0.6)),
     // s6/s7: the product-quantized IVF path (compressed codes scanned, raw
     // vectors touched only by the bounded exact re-rank) through the same
     // staged-parquet contract and recall gate as s2-s5
@@ -970,6 +997,8 @@ object SparkEntry {
     "s8_ivf_dist_recall" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
     "s9_ivf_twolevel_recall" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
+    "s10_ivfpq_twolevel_recall" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
     // {M1_VALUES} = Verify's sequential no-Spark replay of the same
     // deterministic asset generation + decode, substituted at dump time

@@ -485,23 +485,28 @@ object Similarity {
   /** QUERY phase: approximate top-k against a prebuilt [[ivfIndex]] + its
     * centroid model. Queries probe their nProbe nearest cells; candidates
     * re-ranked by exact cosine. Corpus touched only through the index.
+    * Probe rows are SLIM (cell, query_id) — embedding the query vector per
+    * probed cell multiplies the broadcast by nProbe copies (the same
+    * payload discipline as [[lshKnnIndexed]]'s probes); the vectors join
+    * back once per matched candidate from the tiny broadcast `qn` side.
     */
   def ivfKnnIndexed(index: DataFrame, centroids: Array[Array[Float]], queries: DataFrame,
                     k: Int = 5, nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
-    val probes = queries.filter(col("embedding").isNotNull)
+    val qn = queries.filter(col("embedding").isNotNull)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .as[(Long, Array[Float])]
+    val probes = qn.as[(Long, Array[Float])]
       .flatMap { case (qid, emb) =>
         bc.value.indices.map(c => (c, cos(emb, bc.value(c))))
           .sortBy(-_._2).take(nProbe)
-          .map { case (c, _) => (c, qid, emb) }
-      }.toDF("cell", "query_id", "q_emb")
+          .map { case (c, _) => (c, qid) }
+      }.toDF("cell", "query_id")
 
     val scored = index.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
+      .join(broadcast(qn), "query_id")
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine_similarity(col("q_emb"), col("emb")).as("score"))
       .groupBy("query_id", "neighbor_id").agg(max("score").as("score"))
@@ -539,6 +544,10 @@ object Similarity {
     /** Pre-unitized router copies (computed once, broadcast with the model). */
     @transient lazy val superUnit: Array[Array[Float]] = unitize(superCentroids)
     @transient lazy val childUnit: Array[Array[Array[Float]]] = children.map(unitize)
+    /** Raw centroid of a flat cell id (the quantity PQ residuals subtract). */
+    def cellCentroid(cell: Int): Array[Float] = children(cell / kChild)(cell % kChild)
+    /** Children flattened in flat-cell-id order (ADC's coarse-term table). */
+    @transient lazy val flatCentroids: Array[Array[Float]] = children.flatten
 
     /** Flat cell id of v: best child (by unit-dot) among the `topSuper`
       * nearest supers' children.
@@ -679,9 +688,11 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    val probes = queries.filter(col("embedding").isNotNull)
+    val qn = queries.filter(col("embedding").isNotNull)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .as[(Long, Array[Float])]
+    // slim probes — at nProbe=512 an embedded q_emb would broadcast 512
+    // copies of every query vector (same discipline as lshKnnIndexed)
+    val probes = qn.as[(Long, Array[Float])]
       .flatMap { case (qid, emb) =>
         val m = bc.value
         val scored = m.topSupers(emb, nProbeSuper).iterator.flatMap { s =>
@@ -693,11 +704,12 @@ object Similarity {
           }
         }.toVector
         scored.sortBy { case (_, cell, d) => (-d, cell) }.take(nProbe)
-          .map { case (s, cell, _) => (s, cell, qid, emb) }
-      }.toDF("super", "cell", "query_id", "q_emb")
+          .map { case (s, cell, _) => (s, cell, qid) }
+      }.toDF("super", "cell", "query_id")
 
     val scored = index.join(broadcast(probes), Seq("super", "cell"))
       .filter(col("id") =!= col("query_id"))
+      .join(broadcast(qn), "query_id")
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine_similarity(col("q_emb"), col("emb")).as("score"))
       .groupBy("query_id", "neighbor_id").agg(max("score").as("score"))
@@ -724,6 +736,83 @@ object Similarity {
     val kids = rows.filter(_._2 >= 0)
     IvfTwoLevel(supers,
       Array.tabulate(supers.length)(s => kids.filter(_._1 == s).sortBy(_._2).map(_._3)))
+  }
+
+  // ------------------------------------------- two-level IVF-PQ (composed) --
+
+  /** TRAIN: per-subspace codebooks over ROUTED residuals (v − its two-level
+    * child centroid, the same assignment [[ivfPqIndexTwoLevel]] applies —
+    * train/index residual semantics must never diverge). Composes the
+    * 10⁴–10⁵-cell router with the nSub+4 B/vector compressed scan: the
+    * layout a 100 TB vector corpus actually serves batches from.
+    */
+  def pqTrainTwoLevel(corpus: DataFrame, model: IvfTwoLevel, nSub: Int = 8, k: Int = 16,
+                      sampleSize: Int = 256, iterations: Int = 5, topSuper: Int = 2): PqModel =
+    pqFromResiduals(
+      pqSample(corpus, sampleSize)
+        .map(v => subtractCentroid(v, model.cellCentroid(model.assign(v, topSuper)))),
+      nSub, k, iterations)
+
+  /** BUILD: one routed-assignment pass emitting (super, cell, id, codes,
+    * norm) — persist with `.write.partitionBy("super")` like
+    * [[ivfIndexTwoLevel]].
+    */
+  def ivfPqIndexTwoLevel(corpus: DataFrame, model: IvfTwoLevel, pq: PqModel,
+                         topSuper: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcM = spark.sparkContext.broadcast(model)
+    val bcP = spark.sparkContext.broadcast(pq)
+    corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val m = bcM.value
+        val cell = m.assign(emb, topSuper)
+        val res = subtractCentroid(emb, m.cellCentroid(cell))
+        (cell / m.kChild, cell, id, pqEncode(res, bcP.value), l2norm(emb))
+      }
+      .toDF("super", "cell", "id", "codes", "norm")
+  }
+
+  /** QUERY: routed probes (nSuper + nProbeSuper·kChild dots, never nCells)
+    * into the shared ADC scan + exact re-rank ([[adcScanRerank]] — the
+    * coarse-term table is the flattened children). Probe rows embed q_emb
+    * because the ADC pass builds its LUT in-scan; the broadcast is bounded
+    * by queries × nProbe × dim — fine for the bounded-query-batch contract,
+    * same as the flat PQ path.
+    */
+  def ivfPqKnnTwoLevelIndexed(index: DataFrame, model: IvfTwoLevel, pq: PqModel,
+                              vectors: DataFrame, queries: DataFrame,
+                              k: Int = 5, nProbe: Int = 8, nProbeSuper: Int = 8,
+                              rerank: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcM = spark.sparkContext.broadcast(model)
+    val bcFlat = spark.sparkContext.broadcast(model.flatCentroids)
+    val bcP = spark.sparkContext.broadcast(pq)
+    val qn = queries.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = qn.as[(Long, Array[Float])]
+      .flatMap { case (qid, emb) =>
+        val m = bcM.value
+        val scored = m.topSupers(emb, nProbeSuper).iterator.flatMap { s =>
+          m.childUnit(s).indices.iterator.map { c =>
+            val u = m.childUnit(s)(c); var d = 0.0; var j = 0
+            val lim = math.min(emb.length, u.length)
+            while (j < lim) { d += emb(j).toDouble * u(j); j += 1 }
+            (s, s * m.kChild + c, d)
+          }
+        }.toVector
+        scored.sortBy { case (_, cell, d) => (-d, cell) }.take(nProbe)
+          .map { case (s, cell, _) => (s, cell, qid, emb) }
+      }.toDF("super", "cell", "query_id", "q_emb")
+
+    val joined = index.join(broadcast(probes), Seq("super", "cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("cell"), col("id"), col("codes"), col("norm"))
+      .as[(Long, Array[Float], Int, Long, Array[Byte], Float)]
+    adcScanRerank(joined, bcFlat, bcP, vectors, qn, k, k * rerank)
   }
 
   /** Centroid model ↔ DataFrame converters, so a staged IVF index is fully
@@ -841,14 +930,30 @@ object Similarity {
     */
   def pqTrain(corpus: DataFrame, centroids: Array[Array[Float]], nSub: Int = 8, k: Int = 16,
               sampleSize: Int = 256, iterations: Int = 5): PqModel = {
-    require(k <= 256, s"PQ code must fit one byte: k=$k > 256")
+    val unit = unitize(centroids)
+    pqFromResiduals(
+      pqSample(corpus, sampleSize).map(v => residual(v, centroids, unit)),
+      nSub, k, iterations)
+  }
+
+  /** The seeded hash-ordered PQ training sample (seed 43 — an independent
+    * draw from ivfTrain's 41), shared by the flat and two-level trainers.
+    */
+  private def pqSample(corpus: DataFrame, sampleSize: Int): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val unit = unitize(centroids)
-    val sample = corpus.filter(col("embedding").isNotNull)
+    corpus.filter(col("embedding").isNotNull)
       .orderBy(xxhash64(col("vec_id"), lit(43)), col("vec_id")).limit(sampleSize)
       .select("embedding").as[Array[Float]].collect()
-      .map(v => residual(v, centroids, unit))
+  }
+
+  /** Per-subspace Lloyd over an already-residualized sample — the tail both
+    * PQ trainers share (residualization differs: flat nearest-cell vs
+    * two-level routed assignment; it must match the index build's).
+    */
+  private def pqFromResiduals(sample: Array[Array[Float]], nSub: Int, k: Int,
+                              iterations: Int): PqModel = {
+    require(k <= 256, s"PQ code must fit one byte: k=$k > 256")
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     require(dim % nSub == 0, s"embedding dim $dim not divisible by nSub=$nSub")
@@ -950,18 +1055,34 @@ object Similarity {
           .map { case (c, _) => (c, qid, emb) }
       }.toDF("cell", "query_id", "q_emb")
 
-    val r = k * rerank
     val joined = index.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("q_emb"), col("cell"), col("id"), col("codes"), col("norm"))
       .as[(Long, Array[Float], Int, Long, Array[Byte], Float)]
+    adcScanRerank(joined, bcC, bcP, vectors, qn, k, k * rerank)
+  }
+
+  /** Shared tail of the flat and two-level PQ query paths: the ADC scan
+    * with in-scan bounded per-query heaps, the partition-count-invariant
+    * global top-R window cut, and the exact re-rank over the broadcast
+    * candidate list. `cents` is indexed by the FLAT cell id the joined rows
+    * carry (for the two-level path: the flattened children), because with
+    * residual codes the reassembled inner product is <q,c_cell> + Σ_m
+    * lut[code_m].
+    */
+  private def adcScanRerank(
+      joined: org.apache.spark.sql.Dataset[(Long, Array[Float], Int, Long, Array[Byte], Float)],
+      bcC: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+      bcP: org.apache.spark.broadcast.Broadcast[PqModel],
+      vectors: DataFrame, qn: DataFrame, k: Int, r: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val approx = joined.mapPartitions { rows =>
       val p = bcP.value
       val cents = bcC.value
       val luts = scala.collection.mutable.Map[Long, (Array[Float], Float)]()
-      // <q, cell centroid>, cached per (query, cell): with residual codes
-      // the reassembled inner product is <q,c_cell> + Σ_m lut[code_m] —
-      // ≤ nProbe coarse terms per query, amortized like the LUT
+      // <q, cell centroid>, cached per (query, cell): ≤ nProbe coarse terms
+      // per query, amortized like the LUT
       val qc = scala.collection.mutable.Map[(Long, Int), Double]()
       // bounded per-query top-R heap; "head" (max per this ordering) is the
       // WORST kept candidate: lowest score, largest id on ties — matching

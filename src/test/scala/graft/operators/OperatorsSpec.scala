@@ -408,6 +408,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.pipeline.Staging.deleteRecursively(stage)
   }
 
+  test("two-level IVF-PQ: routed compressed path recalls on clustered ids, staged ≡ in-memory") {
+    import spark.implicits._
+    val n = 2000L
+    val corr = spark.range(n).map(id => (id, graft.AnnScaleBench.vecCorrelated(id, n, 16, 8)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.ivfTrainTwoLevel(corr, nCells = 16, nSuper = 4)
+    val pq = Similarity.pqTrainTwoLevel(corr, m, nSub = 8, k = 16)
+    val idx = Similarity.ivfPqIndexTwoLevel(corr, m, pq)
+    val q = corr.filter(col("vec_id") % 250 === 0)
+    val brute = Similarity.bruteForceKnn(corr, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = rows(Similarity.ivfPqKnnTwoLevelIndexed(idx, m, pq, Similarity.vectorTable(corr),
+      q, k = 5, nProbe = 4, nProbeSuper = 2, rerank = 32))
+    val recall = got.map(t => (t._1, t._3)).intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"two-level PQ routed recall = $recall")
+    // staged round trip (super-partitioned index + model + codebooks +
+    // bucketed vectors) reproduces the in-memory results exactly
+    val stage = graft.pipeline.Staging.tempDir("graft-2lpq-test")
+    try {
+      idx.write.partitionBy("super").parquet(s"$stage/ivfpq")
+      Similarity.twoLevelToDf(spark, m).write.parquet(s"$stage/model")
+      Similarity.pqModelToDf(spark, pq).write.parquet(s"$stage/pqmodel")
+      Similarity.vectorTableBucketed(corr).write.partitionBy("id_bucket").parquet(s"$stage/vectors")
+      val gotStaged = rows(Similarity.ivfPqKnnTwoLevelIndexed(
+        spark.read.parquet(s"$stage/ivfpq"),
+        Similarity.twoLevelFromDf(spark.read.parquet(s"$stage/model")),
+        Similarity.pqModelFromDf(spark.read.parquet(s"$stage/pqmodel")),
+        spark.read.parquet(s"$stage/vectors"),
+        q, k = 5, nProbe = 4, nProbeSuper = 2, rerank = 32))
+      assert(gotStaged == got)
+    } finally graft.pipeline.Staging.deleteRecursively(stage)
+  }
+
   test("ANN staged indexes: parquet round-tripped LSH/IVF give identical results to one-shot") {
     val stage = graft.pipeline.Staging.tempDir("graft-ann-test")
     try {
