@@ -59,7 +59,7 @@ object Bench {
     // appended round 5 (formerly unbenched + the round's new surface)
     "q2_sort_limit", "q4_multijoin", "q6_filter_agg", "q7_semi", "q8_anti",
     "q9_setop", "q12_json_extract", "q14_percentile", "q15_corr_subquery",
-    "q16_except", "q17_union_distinct", "q20_approx_percentile",
+    "q16_except", "q17_union_distinct", "q20_approx_percentile", "q21_heavy_hitters",
     "d2_norm_dedup", "d5_ngram_jaccard", "d7_embedding_lsh_recall",
     "s4_lsh_recall", "s8_ivf_dist_recall", "s9_ivf_twolevel_recall",
     "s10_ivfpq_twolevel_recall", "t2_tokencounts",

@@ -550,6 +550,31 @@ object SparkEntry {
             .as("err_pass"))
         .orderBy("l_returnflag")
     }),
+    // sketch-based frequency: count-min heavy hitters with a pinned error
+    // gate vs the exact counts — the third sketch family (distinct q19,
+    // quantile q20, frequency q21). At 100 TB the exact per-key counts of
+    // the heavy tail need a full groupBy shuffle; the CMS is fixed-size
+    // (width ≈ e/eps counters × depth rows), merges map-side, and never
+    // undercounts, so "est in [exact, 1.05·exact]" is a sound gate. eps is
+    // sized so ε·N sits far below the heavy hitters' counts (the standard
+    // CMS sizing rule); seed fixed for determinism.
+    "q21_heavy_hitters" -> ((s, dir) =>
+      cachedStagedQuery("q21", s, dir) {
+        val ev = tbl(s, dir, "events")
+        val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+          .collect() // bounded: exactly the 10 heavy hitters
+        val cms = ev.stat.countMinSketch(col("user_id"), eps = 2e-5,
+          confidence = 0.99, seed = 42)
+        import s.implicits._
+        top.toSeq.map { r =>
+          val (uid, n) = (r.getLong(0), r.getLong(1))
+          (uid, n, cms.estimateCount(uid))
+        }.toDF("user_id", "n_exact", "n_est")
+          .select(col("user_id"), col("n_exact"),
+            (col("n_est") >= col("n_exact") &&
+              col("n_est").cast("double") / col("n_exact") <= 1.05).as("err_pass"))
+      }.orderBy(col("n_exact").desc, col("user_id"))),
     "q13_rollup" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -840,6 +865,11 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(round(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE) AS p50,
         |CAST(round(quantile_cont(l_extendedprice, 0.95), 2) AS DOUBLE) AS p95, count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_heavy_hitters" ->
+      """SELECT user_id, n_exact, true AS err_pass FROM (
+        |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
+        |  ORDER BY n_exact DESC, user_id LIMIT 10)
+        |ORDER BY n_exact DESC, user_id""".stripMargin,
     "q20_approx_percentile" ->
       """SELECT l_returnflag, CAST(round(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE) AS p50_exact,
         |CAST(round(quantile_cont(l_extendedprice, 0.95), 2) AS DOUBLE) AS p95_exact,
