@@ -337,7 +337,16 @@ object Similarity {
       }
     }
 
-  private[graft] def nearestCellDot(v: Array[Float], unit: Array[Array[Float]]): Int = {
+  private[graft] def nearestCellDot(v: Array[Float], unit: Array[Array[Float]]): Int =
+    nearestCellDotWithScore(v, unit)._1
+
+  /** Like [[nearestCellDot]] but keeps the winning dot product — callers
+    * that need both (two-level routing compares child winners ACROSS
+    * supers) must not pay a second dim-length dot to recover the score
+    * (Tuple2[Int, Double] is @specialized — no boxing).
+    */
+  private[graft] def nearestCellDotWithScore(v: Array[Float],
+                                             unit: Array[Array[Float]]): (Int, Double) = {
     var best = 0; var bestS = Double.MinValue
     var c = 0
     while (c < unit.length) {
@@ -347,7 +356,7 @@ object Similarity {
       if (d > bestS) { bestS = d; best = c }
       c += 1
     }
-    best
+    (best, bestS)
   }
 
   /** TRAIN phase at scale: executor-side Lloyd. [[ivfTrain]] collects a
@@ -432,7 +441,12 @@ object Similarity {
           val (s, n) = acc.getOrElseUpdate(cell, (new Array[Long](dim), 0L))
           var i = 0
           val lim = math.min(v.length, dim)
-          while (i < lim) { s(i) += Math.round(v(i).toDouble * Q); i += 1 }
+          // addExact: a partition of ~2³⁰ rows with coordinates ~2⁹ puts
+          // the fixed-point sum near Long range; silent wraparound would
+          // train on corrupted centroids with no symptom — fail loudly
+          // instead (the intrinsified overflow check is ~free next to the
+          // nCells·dim assignment dots above)
+          while (i < lim) { s(i) = Math.addExact(s(i), Math.round(v(i).toDouble * Q)); i += 1 }
           acc(cell) = (s, n + 1L)
         }
         acc.iterator.map { case (c, (s, n)) => (c, s, n) }
@@ -558,10 +572,7 @@ object Similarity {
       var i = 0
       while (i < top.length) {
         val s = top(i)
-        val c = nearestCellDot(v, childUnit(s))
-        val u = childUnit(s)(c); var d = 0.0; var j = 0
-        val lim = math.min(v.length, u.length)
-        while (j < lim) { d += v(j).toDouble * u(j); j += 1 }
+        val (c, d) = nearestCellDotWithScore(v, childUnit(s))
         if (d > bestS) { bestS = d; best = s * kChild + c }
         i += 1
       }
@@ -584,7 +595,7 @@ object Similarity {
     * [[ivfTrain]] runs, extracted so per-super-cell child training can run
     * the SAME deterministic routine inside one executor task per group.
     */
-  private def lloydCos(sample: Array[Array[Float]], k: Int, iterations: Int): Array[Array[Float]] = {
+  private[operators] def lloydCos(sample: Array[Array[Float]], k: Int, iterations: Int): Array[Array[Float]] = {
     val dim = sample.head.length
     var centroids = Array.tabulate(math.min(k, sample.length)) { c =>
       sample((c.toLong * sample.length / math.min(k, sample.length)).toInt).clone()
@@ -608,13 +619,53 @@ object Similarity {
     centroids
   }
 
+  /** Streaming bounded selection: the `cap` elements of `it` with the
+    * SMALLEST (unsigned XXH64(id, 42), id) keys — exactly the set
+    * `sortBy(key).take(cap)` keeps, found with a size-`cap` max-heap
+    * instead of materializing the input, so memory is O(cap) for any
+    * group size (the unbounded-task-memory fix for skewed super-cells;
+    * the reference's analogous discipline is the lexer's bounded buffer,
+    * /root/reference/src/lexer/lexer.rs:397-415 — nothing grows with
+    * input size). The key is uniform in ids (unbiased sample) and total
+    * ((hash, id) is unique per id), so the kept set is deterministic.
+    */
+  private[operators] def capByHash(it: Iterator[(Long, Array[Float])],
+                                   cap: Int): Array[(Long, Array[Float])] = {
+    // max-heap by (unsigned hash, id): head = largest key = first evicted
+    val heap = new java.util.PriorityQueue[(Long, Long, Array[Float])](
+      math.max(1, math.min(cap, 1024)),
+      new java.util.Comparator[(Long, Long, Array[Float])] {
+        def compare(a: (Long, Long, Array[Float]), b: (Long, Long, Array[Float])): Int = {
+          val h = java.lang.Long.compare(b._1, a._1)
+          if (h != 0) h else java.lang.Long.compare(b._2, a._2)
+        }
+      })
+    it.foreach { case (id, v) =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L) ^ Long.MinValue
+      if (heap.size < cap) heap.offer((h, id, v))
+      else {
+        val worst = heap.peek()
+        if (h < worst._1 || (h == worst._1 && id < worst._2)) {
+          heap.poll(); heap.offer((h, id, v))
+        }
+      }
+    }
+    val out = new Array[(Long, Array[Float])](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { val e = heap.poll(); out(i) = (e._2, e._3); i -= 1 }
+    out
+  }
+
   /** TRAIN phase, two-level: distributed Lloyd for the supers
     * ([[ivfTrainDistributed]] — deterministic fixed-point reduction), then
     * one executor task per super-cell running a local Lloyd over that
     * super's (hash-capped) training members. Driver memory holds the model
-    * only. Determinism: members sort by (unsigned hash, id) before the cap
-    * and by id before Lloyd, so each child codebook is a pure function of
-    * the corpus. Supers with no training members keep copies of the super
+    * only, and task memory is O(maxPerSuper · dim) under ANY skew: the cap
+    * is a streaming bounded selection over the group iterator
+    * ([[capByHash]]), never a materialize-then-trim. Determinism: the kept
+    * members are the smallest (unsigned hash, id) keys — the same set a
+    * sort-then-take would keep — id-sorted before Lloyd, so each child
+    * codebook is a pure function of the corpus. Supers with no training members keep copies of the super
     * centroid as children (deterministic; their cells stay empty unless
     * index-time routing sends boundary vectors there).
     */
@@ -635,15 +686,14 @@ object Similarity {
     val childRows = training
       .groupByKey { case (_, v) => nearestCellDot(v, bcU.value) }
       .mapGroups { (superId, it) =>
-        val members = it.toArray
-        // deterministic unbiased cap: unsigned-hash order, then id-sorted
-        // for the sequential Lloyd
-        val kept =
-          (if (members.length <= maxPerSuper) members
-           else members.sortBy { case (id, _) =>
-             (org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L) ^ Long.MinValue, id)
-           }.take(maxPerSuper))
-          .sortBy(_._1).map(_._2)
+        // deterministic unbiased cap applied STREAMING (capByHash): the
+        // group iterator never materializes, so task memory is
+        // O(maxPerSuper · dim) no matter how many members a skewed super
+        // owns — a hot super holding half the training set must bound the
+        // task, not OOM it. Kept set identical to sort-by-(unsigned
+        // hash, id) + take(maxPerSuper); then id-sorted for the
+        // sequential Lloyd.
+        val kept = capByHash(it, maxPerSuper).sortBy(_._1).map(_._2)
         (superId, lloydCos(kept, kChild, iterations))
       }.collect().toMap
     IvfTwoLevel(supers, Array.tabulate(nSuper) { s =>
@@ -662,6 +712,16 @@ object Similarity {
     * partition-prunes the scan to the probed supers (partitioning on the
     * flat cell would create nCells directories — 10⁵ files is a filesystem
     * antipattern; the super level is the right granularity).
+    *
+    * INCREMENTAL APPEND (the daily-growth lifecycle): the same pass over
+    * only the NEW vectors, written with `.mode("append")` into the same
+    * super-partitioned layout, is an assign-only upsert through the FROZEN
+    * model — no retrain, no rebuild, and readers see the union because
+    * probing prunes on the partition column, not on file identity. The
+    * model goes stale as the corpus drifts from its training distribution;
+    * gate appended-index recall against a fresh retrain (the s11 driver
+    * row + AnnScaleBench measure exactly that) and retrain when the gap
+    * exceeds budget.
     */
   def ivfIndexTwoLevel(corpus: DataFrame, model: IvfTwoLevel, topSuper: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
@@ -684,7 +744,27 @@ object Similarity {
     * nCells.
     */
   def ivfKnnTwoLevelIndexed(index: DataFrame, model: IvfTwoLevel, queries: DataFrame,
-                            k: Int = 5, nProbe: Int = 8, nProbeSuper: Int = 8): DataFrame = {
+                            k: Int = 5, nProbe: Int = 8, nProbeSuper: Int = 8): DataFrame =
+    ivfKnnTwoLevelFilteredIndexed(index, model, queries, None, k, nProbe, nProbeSuper)
+
+  /** FILTERED ANN: [[ivfKnnTwoLevelIndexed]] composed with a metadata
+    * predicate — `allowed` is a slim one-column (`id`) frame of the vectors
+    * the predicate admits (typically an attribute table filtered with
+    * ordinary pushed-down predicates: source, license, date, label).
+    * Retrieval over training data is almost always filtered; this is the
+    * "pre-filtering" composition: the filter lands as a LEFT SEMI join on
+    * the candidate stream AFTER partition-pruned probe selection but BEFORE
+    * the per-candidate scoring join — disallowed vectors never reach a
+    * cosine, and k survivors per query are guaranteed to satisfy the
+    * predicate (post-filtering an unfiltered top-k can return < k rows or
+    * rescan). At 100 TB the allowed set is a slim id column; Catalyst/AQE
+    * picks broadcast vs shuffle for the semi-join by its actual size, and
+    * the attribute table's own predicate pushes down to its parquet scan
+    * (plan-asserted in PlanSpec).
+    */
+  def ivfKnnTwoLevelFilteredIndexed(index: DataFrame, model: IvfTwoLevel, queries: DataFrame,
+                                    allowed: Option[DataFrame],
+                                    k: Int = 5, nProbe: Int = 8, nProbeSuper: Int = 8): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
@@ -707,8 +787,13 @@ object Similarity {
           .map { case (s, cell, _) => (s, cell, qid) }
       }.toDF("super", "cell", "query_id")
 
-    val scored = index.join(broadcast(probes), Seq("super", "cell"))
+    val probed = index.join(broadcast(probes), Seq("super", "cell"))
       .filter(col("id") =!= col("query_id"))
+    val admitted = allowed match {
+      case Some(ok) => probed.join(ok.select(col("id")), Seq("id"), "left_semi")
+      case None => probed
+    }
+    val scored = admitted
       .join(broadcast(qn), "query_id")
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine_similarity(col("q_emb"), col("emb")).as("score"))

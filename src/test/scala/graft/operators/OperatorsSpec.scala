@@ -443,6 +443,94 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.pipeline.Staging.deleteRecursively(stage)
   }
 
+  test("capByHash streaming cap keeps exactly the sort-take set with O(cap) memory") {
+    // the kept set must be bit-identical to the materialize-sort-take the
+    // trainer used to do — same (unsigned XXH64(id,42), id) key
+    def key(id: Long): (Long, Long) =
+      (org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L) ^ Long.MinValue, id)
+    for ((n, cap) <- Seq((0, 4), (3, 4), (4, 4), (5, 4), (1000, 64), (1000, 1000), (1000, 1))) {
+      val members = (0 until n).map(i => (i.toLong * 13 % 977, Array(i.toFloat)))
+      val expected = members.sortBy { case (id, _) => key(id) }.take(cap).map(_._1).toSet
+      val got = Similarity.capByHash(members.iterator, cap).map(_._1)
+      assert(got.toSet == expected, s"n=$n cap=$cap")
+      // and id-sortable like the downstream Lloyd expects
+      assert(got.length == math.min(n, cap))
+    }
+  }
+
+  test("two-level trainer under 90% super skew: bounded cap bites, model equals sort-take semantics") {
+    import spark.implicits._
+    // 90% of the corpus in one tight cluster → one super owns ~90% of the
+    // training set; maxPerSuper=64 forces the streaming cap to bite there
+    val n = 2000L
+    def skewVec(id: Long): Array[Float] = {
+      val cluster = if (id < 1800) 0 else 1 + (id % 7).toInt
+      graft.AnnScaleBench.vecCorrelated(cluster.toLong * 250 + id % 250, n, 16, 8)
+    }
+    val corpus = spark.range(n).map(id => (id, skewVec(id))).toDF("vec_id", "embedding")
+    val m = Similarity.ivfTrainTwoLevel(corpus, nCells = 8, nSuper = 2, maxPerSuper = 64)
+    // reference recomputation of the OLD materialize-then-cap semantics,
+    // sequentially: same supers, same group membership, sort-take cap,
+    // id-sorted Lloyd — the streaming heap must reproduce it exactly
+    val supers = Similarity.ivfTrainDistributed(corpus, nCells = 2, iterations = 3)
+    val unit = Similarity.unitize(supers)
+    val all = corpus.as[(Long, Array[Float])].collect()
+    val byS = all.groupBy { case (_, v) => Similarity.nearestCellDot(v, unit) }
+    def key(id: Long): (Long, Long) =
+      (org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L) ^ Long.MinValue, id)
+    val expected = (0 until 2).map { s =>
+      val ms = byS.getOrElse(s, Array.empty)
+      val kept = (if (ms.length <= 64) ms else ms.sortBy(m => key(m._1)).take(64))
+        .sortBy(_._1).map(_._2)
+      if (kept.isEmpty) Array.fill(4)(supers(s).clone())
+      else {
+        val cs = Similarity.lloydCos(kept, 4, 3)
+        cs ++ Array.fill(4 - cs.length)(supers(s).clone())
+      }
+    }
+    assert(m.superCentroids.zip(supers).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    assert(m.children.zip(expected).forall { case (cs, ds) =>
+      cs.length == ds.length && cs.zip(ds).forall { case (x, y) => java.util.Arrays.equals(x, y) }
+    }, "streaming-capped child codebooks differ from sort-take semantics")
+    // the cap genuinely bit: the hot super's membership far exceeds it
+    assert(byS.values.map(_.length).max > 1000, "skew fixture lost its hot super")
+    // determinism under repartitioning (the skewed group spans partitions)
+    val m2 = Similarity.ivfTrainTwoLevel(corpus.repartition(7), nCells = 8, nSuper = 2, maxPerSuper = 64)
+    assert(m.children.zip(m2.children).forall { case (cs, ds) =>
+      cs.zip(ds).forall { case (x, y) => java.util.Arrays.equals(x, y) } })
+  }
+
+  test("filtered ANN: every neighbor satisfies the predicate; recall holds vs brute over the filtered corpus") {
+    import spark.implicits._
+    val n = 2000L
+    val corr = spark.range(n).map(id => (id, graft.AnnScaleBench.vecCorrelated(id, n, 16, 8)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.ivfTrainTwoLevel(corr, nCells = 16, nSuper = 4)
+    val idx = Similarity.ivfIndexTwoLevel(corr, m)
+    // metadata predicate: label = vec_id % 10, admit even labels only
+    val allowed = corr.select(col("vec_id").as("id")).filter(col("id") % 10 % 2 === 0)
+    val q = corr.filter(col("vec_id") % 250 === 0)
+    val got = Similarity.ivfKnnTwoLevelFilteredIndexed(idx, m, q, Some(allowed),
+      k = 5, nProbe = 4, nProbeSuper = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val allowedIds = allowed.as[Long].collect().toSet
+    assert(got.nonEmpty && got.forall { case (_, nb) => allowedIds.contains(nb) },
+      "a disallowed vector leaked through the predicate")
+    val bruteFiltered = Similarity.bruteForceKnn(
+      corr.filter(col("vec_id") % 10 % 2 === 0), q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.toSet.intersect(bruteFiltered).size.toDouble / bruteFiltered.size
+    assert(recall >= 0.85, s"filtered routed recall = $recall")
+    // the predicate prunes BEFORE the scoring join: LeftSemi sits below the
+    // cosine evaluation in the optimized plan
+    val plan = Similarity.ivfKnnTwoLevelFilteredIndexed(idx, m, q, Some(allowed),
+      k = 5, nProbe = 4, nProbeSuper = 2).queryExecution.optimizedPlan.toString
+    val semiAt = plan.indexOf("LeftSemi")
+    val cosAt = plan.indexOf("cosine_similarity")
+    assert(semiAt >= 0 && cosAt >= 0 && semiAt > cosAt,
+      s"expected LeftSemi BELOW (printed after) the cosine projection:\n$plan")
+  }
+
   test("ANN staged indexes: parquet round-tripped LSH/IVF give identical results to one-shot") {
     val stage = graft.pipeline.Staging.tempDir("graft-ann-test")
     try {
