@@ -64,25 +64,51 @@ object LogFiles {
   }
 
   /** Structured Streaming twin of [[events]]: `.log` files arriving in
-    * `dir` parse through the SAME per-file kernel, one micro-batch per
-    * trigger — the raw-log side of the R2 pluggable-stream symmetry
-    * [[graft.streaming.StreamingParse]] provides for transcripts (the
-    * reference's pull-stream input, /root/reference/src/lexer/
-    * lexer_stream.rs:3-5). The `binaryFile` file-stream source delivers
-    * each NEW file as one (path, content) row, so the stream needs no
-    * cross-batch state: event boundaries never cross files, and a file is
-    * parsed exactly once, in the micro-batch that discovers it —
-    * batch ≡ stream equality is by construction ([[eventsOf]] is the
-    * shared kernel) and asserted in StreamingSpec. Per-file event_idx /
-    * line numbers are file-local exactly like [[events]]. Files must
+    * `dir` parse through the SAME kernels as the batch paths, one
+    * micro-batch per trigger — the raw-log side of the R2 pluggable-stream
+    * symmetry [[graft.streaming.StreamingParse]] provides for transcripts
+    * (the reference's pull-stream input, /root/reference/src/lexer/
+    * lexer_stream.rs:3-5). The `binaryFile` file-stream source is used for
+    * DISCOVERY only — the query selects just (path, length), so the
+    * source's column pruning never materializes file content; all byte
+    * reads below are bounded ranges. A file is processed exactly once, in
+    * the micro-batch that discovers it (file-source offset tracking);
+    * event boundaries never cross files, so no cross-batch state is
+    * needed, and batch ≡ stream equality is by construction (shared
+    * kernels) and asserted in StreamingSpec.
+    *
+    * WITHIN-FILE SPLIT (the memory/latency bound the batch side gets from
+    * [[eventsSplit]]): a file larger than `chunkBytes` is routed through
+    * the chunk-index kernel INSIDE the stream — one task per file runs the
+    * cheap phase-1 boundary scan ([[scanChunk]] per range, each holding
+    * ~chunkBytes + lookahead, buffers discarded between chunks) and
+    * prefix-sums it into repaired regions ([[regionsOf]]); the regions
+    * then REPARTITION across the cluster and tokenize in parallel
+    * ([[parseRegion]]). A 512 MB log arriving in the stream is a ~1 s
+    * byte scan plus 32 parallel ~16 MB parse tasks, not one whole-file
+    * task holding 512 MB on-heap. Files at or under `chunkBytes` (and all
+    * files of a schema whose patterns fail [[chunkIndex]]'s newline-safety
+    * preconditions, where split points can't be trusted) parse as a single
+    * region — for those the whole-file task is the documented fallback.
+    * Global event_idx / line numbers are file-local exactly like
+    * [[events]]; the split restores them from the prefix sums, so stream
+    * output is byte-identical to the batch wholetext parse. Files must
     * arrive complete (the standard file-source contract: write elsewhere,
-    * move in); a file larger than the JVM string limit fails like the
-    * batch path does.
+    * move in).
     */
   def eventsStream(spark: SparkSession, dir: String, bank: Broadcast[PatternBank],
-                   maxFilesPerTrigger: Int = 4): Dataset[LogEvent] = {
+                   maxFilesPerTrigger: Int = 4, chunkBytes: Long = 16L << 20,
+                   regionParallelism: Int = 0): Dataset[LogEvent] = {
     import spark.implicits._
-    spark.readStream
+    require(chunkBytes >= 4096, s"chunkBytes too small: $chunkBytes")
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    // same soundness preconditions chunkIndex requires; checked ONCE on the
+    // driver — an unsafe schema degrades to whole-file regions, it must not
+    // silently mis-split
+    val splittable = !bank.value.tsDfa.canTransitionOn('\n') &&
+      !bank.value.varDfa.canTransitionOn('\n') && bank.value.isDelimiter('\n')
+    val files = spark.readStream
       .format("binaryFile")
       // the binaryFile format's FIXED schema — the streaming source API
       // still requires it stated explicitly
@@ -91,11 +117,23 @@ object LogFiles {
       .option("pathGlobFilter", "*.log")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        eventsOf(path, new String(bytes, java.nio.charset.StandardCharsets.UTF_8), bank.value)
+      .select(col("path"), col("length"))
+      .as[(String, Long)]
+    val regions = files.flatMap { case (path, len) =>
+      if (!splittable || len <= chunkBytes) Iterator.single(Region(path, 0L, len, 0L, 0L))
+      else {
+        val n = ((len + chunkBytes - 1) / chunkBytes).toInt
+        val metas = (0 until n).map { i =>
+          scanChunk(path, i, i * chunkBytes, math.min(len, (i + 1) * chunkBytes),
+            len, bank.value, confSer.value)
+        }
+        regionsOf(metas).iterator
       }
+    }
+    regions
+      .repartition(if (regionParallelism > 0) regionParallelism
+        else spark.sparkContext.defaultParallelism)
+      .flatMap(r => parseRegion(r, bank.value, confSer.value))
   }
 
   /** [[events]] with the per-event token array attached. */
@@ -218,41 +256,55 @@ object LogFiles {
     val metas = index.collect()
 
     // driver: prefix-sum chunk metadata into repaired regions
-    val regions = metas.groupBy(_.file).toSeq.flatMap { case (file, ms) =>
-      val sorted = ms.sortBy(_.chunkIdx)
-      val fileLen = sorted.last.end
-      var eventsBefore = 0L
-      var newlinesBefore = 0L
-      val out = Vector.newBuilder[Region]
-      var i = 0
-      while (i < sorted.length) {
-        val m = sorted(i)
-        if (m.firstEventStart >= 0) {
-          // owned region ends at the next chunk that owns an event start
-          var j = i + 1
-          while (j < sorted.length && sorted(j).firstEventStart < 0) j += 1
-          val end = if (j < sorted.length) sorted(j).firstEventStart else fileLen
-          out += Region(file, m.firstEventStart, end, eventsBefore,
-            newlinesBefore + m.nNewlinesBeforeFirstEvent)
-        }
-        eventsBefore += m.nEventStarts
-        newlinesBefore += m.nNewlines
-        i += 1
-      }
-      out.result()
-    }
+    val regions = metas.groupBy(_.file).toSeq.flatMap { case (_, ms) => regionsOf(ms) }
 
     // phase 2 (distributed): tokenize each region independently; restore
     // global event indices and line numbers from the prefix sums
-    spark.createDataset(regions).flatMap { r =>
-      val content = new String(readRange(r.file, r.start, r.end, confSer.value),
-        java.nio.charset.StandardCharsets.UTF_8)
-      eventsOf(r.file, content, bank.value).map { ev =>
-        ev.copy(
-          event_idx = (ev.event_idx + r.eventIdxOffset).toInt,
-          line_start = (ev.line_start + r.lineOffset).toInt,
-          line_end = (ev.line_end + r.lineOffset).toInt)
+    spark.createDataset(regions).flatMap(r => parseRegion(r, bank.value, confSer.value))
+  }
+
+  /** Prefix-sum ONE file's chunk metas into repaired parse regions — the
+    * boundary-repair core shared by the batch split path
+    * ([[eventsFromIndex]], driver-side over the collected index) and the
+    * streaming split path ([[eventsStream]], executor-side per file).
+    */
+  private[sources] def regionsOf(ms: Seq[ChunkMeta]): Vector[Region] = {
+    val sorted = ms.sortBy(_.chunkIdx)
+    val file = sorted.head.file
+    val fileLen = sorted.last.end
+    var eventsBefore = 0L
+    var newlinesBefore = 0L
+    val out = Vector.newBuilder[Region]
+    var i = 0
+    while (i < sorted.length) {
+      val m = sorted(i)
+      if (m.firstEventStart >= 0) {
+        // owned region ends at the next chunk that owns an event start
+        var j = i + 1
+        while (j < sorted.length && sorted(j).firstEventStart < 0) j += 1
+        val end = if (j < sorted.length) sorted(j).firstEventStart else fileLen
+        out += Region(file, m.firstEventStart, end, eventsBefore,
+          newlinesBefore + m.nNewlinesBeforeFirstEvent)
       }
+      eventsBefore += m.nEventStarts
+      newlinesBefore += m.nNewlines
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Tokenize one repaired region and restore its global event indices and
+    * line numbers from the prefix-sum offsets (shared phase-2 kernel).
+    */
+  private def parseRegion(r: Region, bank: PatternBank,
+                          conf: org.apache.hadoop.conf.Configuration): Iterator[LogEvent] = {
+    val content = new String(readRange(r.file, r.start, r.end, conf),
+      java.nio.charset.StandardCharsets.UTF_8)
+    eventsOf(r.file, content, bank).map { ev =>
+      ev.copy(
+        event_idx = (ev.event_idx + r.eventIdxOffset).toInt,
+        line_start = (ev.line_start + r.lineOffset).toInt,
+        line_end = (ev.line_end + r.lineOffset).toInt)
     }
   }
 

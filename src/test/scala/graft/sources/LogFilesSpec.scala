@@ -124,6 +124,26 @@ class LogFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromStaged.toSeq == whole.map(key).sortBy(_._1).toSeq)
   }
 
+  test("repaired regions are bounded: no region materially exceeds chunkBytes on a dense-event log") {
+    // the bounded-task-memory contract both split paths (batch
+    // eventsFromIndex, streaming eventsStream) rely on: a region runs from
+    // one chunk's first event start to the next owning chunk's first event
+    // start, so on any log whose events are smaller than a chunk, regions
+    // stay within ~2·chunkBytes (an event straddling the boundary extends
+    // the region by less than one chunk). Only a single event larger than
+    // chunkBytes can grow a region beyond that — the documented contract.
+    val dir = java.nio.file.Files.createTempDirectory("graft-region-bound")
+    graft.LogSplitBench.writeLog(dir.resolve("big.log"), 4)
+    val bank = spark.sparkContext.broadcast(PatternBank.example)
+    val chunkBytes = 128L << 10
+    val metas = LogFiles.chunkIndex(spark, s"$dir/big.log", bank, chunkBytes).collect().toSeq
+    val regions = LogFiles.regionsOf(metas)
+    assert(regions.length >= 16, s"only ${regions.length} regions")
+    val maxLen = regions.map(r => r.end - r.start).max
+    assert(maxLen <= 2 * chunkBytes,
+      s"region of $maxLen bytes exceeds 2×chunkBytes=$chunkBytes")
+  }
+
   test("within-file split property: random logs × minimal chunks equal the single-task parse") {
     // deterministic pseudo-random log shapes chosen to stress the boundary
     // math: lines longer than a whole chunk (chunks with NO line start),

@@ -201,4 +201,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(aText == resource("hive-24h.log"))
     } finally q.stop()
   }
+
+  test("streaming .log within-file split: an oversized file parses in bounded regions, identical to batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-logstream-split").toString
+    val bank = spark.sparkContext.broadcast(PatternBank.example)
+    // ~8 MB synthetic multi-line log with chunkBytes=256 KB → the stream
+    // must route it through the chunk-index kernel (32 phase-1 ranges,
+    // parallel region parse), never one whole-file task
+    val chunkBytes = 256L << 10
+    val tmp = java.nio.file.Paths.get(dir, ".big.log.tmp")
+    graft.LogSplitBench.writeLog(tmp, 8)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "big.log"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // preconditions gate: chunkIndex REQUIRES the newline-safe schema — its
+    // success proves the stream's splittable branch (same checks) is taken
+    // for this bank, so big.log (≫ chunkBytes) streams through the split
+    val nChunks = graft.sources.LogFiles
+      .chunkIndex(spark, s"$dir/*.log", bank, chunkBytes).count()
+    assert(nChunks >= 32, s"fixture spans only $nChunks chunks")
+    val stream = graft.sources.LogFiles.eventsStream(spark, dir, bank,
+      maxFilesPerTrigger = 1, chunkBytes = chunkBytes, regionParallelism = 4)
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("log_events_split")
+      .start()
+    try {
+      q.processAllAvailable()
+      def crc(s: String): Long = {
+        val c = new java.util.zip.CRC32()
+        c.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        c.getValue
+      }
+      type Key = (Int, Int, Int, Boolean, String, Int, Int, Long)
+      def key(e: graft.sources.LogFiles.LogEvent): Key =
+        (e.event_idx, e.line_start, e.line_end, e.has_timestamp, e.first_ts,
+          e.n_tokens, e.n_errors, crc(e.text))
+      val got = spark.sql("SELECT * FROM log_events_split")
+        .as[graft.sources.LogFiles.LogEvent].collect().map(key).sorted.toSeq
+      // batch wholetext twin: same events, same GLOBAL indices/line numbers
+      val want = graft.sources.LogFiles.events(spark, s"$dir/*.log", bank)
+        .collect().map(key).sorted.toSeq
+      assert(got.nonEmpty && got == want,
+        s"stream-split rows=${got.length} batch rows=${want.length}")
+    } finally q.stop()
+  }
 }
