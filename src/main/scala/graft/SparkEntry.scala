@@ -259,16 +259,98 @@ object SparkEntry {
     * clusters, nSuper ≫ probed supers) is measured in AnnScaleBench at
     * 65,536 cells.
     */
-  private def stagedIvfTwoLevelKnn(emb: DataFrame, q: DataFrame): DataFrame = {
-    val dir = cachedIndexDir("ivf2l", emb) { d =>
+  private def ivf2lDir(emb: DataFrame): String =
+    cachedIndexDir("ivf2l", emb) { d =>
       val m = Similarity.ivfTrainTwoLevel(emb, nCells = 16, nSuper = 4)
       Similarity.ivfIndexTwoLevel(emb, m).write.partitionBy("super").parquet(s"$d/ivf")
       Similarity.twoLevelToDf(emb.sparkSession, m).write.parquet(s"$d/model")
     }
+
+  private def stagedIvfTwoLevelKnn(emb: DataFrame, q: DataFrame): DataFrame = {
+    val dir = ivf2lDir(emb)
     Similarity.ivfKnnTwoLevelIndexed(
       emb.sparkSession.read.parquet(s"$dir/ivf"),
       Similarity.twoLevelFromDf(emb.sparkSession.read.parquet(s"$dir/model")),
       q, k = 5, nProbe = 6, nProbeSuper = 3)
+  }
+
+  /** The two-level model of the staged s9 index — the s12 replay oracle
+    * routes with the SAME model (same contract as [[ivfModel]]).
+    */
+  private[graft] def ivfTwoLevelModel(s: SparkSession, dir: String): Similarity.IvfTwoLevel =
+    Similarity.twoLevelFromDf(
+      s.read.parquet(s"${ivf2lDir(tbl(s, dir, "embeddings"))}/model"))
+
+  /** FILTERED ANN through s9's staged two-level index: the metadata
+    * predicate (label even — the attribute is read from the corpus table
+    * and filtered with an ordinary pushed-down predicate, standing in for
+    * the source/license/date attribute join of a real training-data
+    * retrieval) lands as a left-semi join on the candidate stream before
+    * any cosine is evaluated. Same operating point as s9.
+    */
+  private def stagedIvfTwoLevelFilteredKnn(emb: DataFrame, q: DataFrame): DataFrame = {
+    val dir = ivf2lDir(emb)
+    val allowed = emb.filter(col("label") % 2 === 0).select(col("vec_id").as("id"))
+    Similarity.ivfKnnTwoLevelFilteredIndexed(
+      emb.sparkSession.read.parquet(s"$dir/ivf"),
+      Similarity.twoLevelFromDf(emb.sparkSession.read.parquet(s"$dir/model")),
+      q, Some(allowed), k = 5, nProbe = 6, nProbeSuper = 3)
+  }
+
+  /** INCREMENTAL APPEND lifecycle (s11): the index a daily-growing corpus
+    * actually runs — train/build on the BASE 90% (vec_id % 10 != 0), then
+    * route the 10% delta through the FROZEN parquet-round-tripped model and
+    * `.mode("append")` it into the same super-partitioned layout. No
+    * retrain, no rebuild; readers see the union via partition pruning.
+    */
+  private def ivf2lAppendDir(emb: DataFrame): String =
+    cachedIndexDir("ivf2l-append", emb) { d =>
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val m = Similarity.ivfTrainTwoLevel(base, nCells = 16, nSuper = 4)
+      Similarity.ivfIndexTwoLevel(base, m).write.partitionBy("super").parquet(s"$d/ivf")
+      Similarity.twoLevelToDf(emb.sparkSession, m).write.parquet(s"$d/model")
+      val mFrozen = Similarity.twoLevelFromDf(emb.sparkSession.read.parquet(s"$d/model"))
+      Similarity.ivfIndexTwoLevel(emb.filter(col("vec_id") % 10 === 0), mFrozen)
+        .write.mode("append").partitionBy("super").parquet(s"$d/ivf")
+    }
+
+  private def stagedIvfTwoLevelAppendKnn(emb: DataFrame, q: DataFrame): DataFrame = {
+    val dir = ivf2lAppendDir(emb)
+    Similarity.ivfKnnTwoLevelIndexed(
+      emb.sparkSession.read.parquet(s"$dir/ivf"),
+      Similarity.twoLevelFromDf(emb.sparkSession.read.parquet(s"$dir/model")),
+      q, k = 5, nProbe = 6, nProbeSuper = 3)
+  }
+
+  /** s11 gate row: (n_queries, recall_pass, staleness_pass). recall_pass =
+    * the appended index still clears the s9 recall bar on the GROWN corpus
+    * (delta vectors must be findable — an append that drops or misroutes
+    * them fails here). staleness_pass = appended-index recall is within
+    * `staleMargin` of a FRESH full-corpus retrain at the same operating
+    * point (s9's staged index) — the measurable signal that decides when
+    * assign-only appends must give way to a retrain. Both thresholds are
+    * integer-count rationals (deterministic), pinned true by the oracle.
+    */
+  private def annAppendGate(emb: DataFrame, minRecall: Double,
+                            staleMargin: Double): DataFrame = {
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceKnn(emb, q, k = 5).select("query_id", "neighbor_id")
+    val stats = brute.agg(countDistinct("query_id").as("n_queries"), count(lit(1)).as("total"))
+    def hits(df: DataFrame, as: String): DataFrame =
+      df.select("query_id", "neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as(as))
+    stats
+      .crossJoin(hits(stagedIvfTwoLevelAppendKnn(emb, q), "hits_app"))
+      .crossJoin(hits(stagedIvfTwoLevelKnn(emb, q), "hits_fresh"))
+      .select(col("n_queries"),
+        when(col("total") === 0L, lit(true))
+          .otherwise(col("hits_app").cast("double") / col("total") >= minRecall)
+          .as("recall_pass"),
+        when(col("total") === 0L, lit(true))
+          .otherwise(col("hits_app").cast("double") / col("total") >=
+            col("hits_fresh").cast("double") / col("total") - staleMargin)
+          .as("staleness_pass"))
   }
 
   /** The COMPOSED scale layout — two-level router over PQ codes — through
@@ -700,6 +782,17 @@ object SparkEntry {
     // full 100 TB serving layout, gated like s7/s9
     "s10_ivfpq_twolevel_recall" -> ((s, dir) =>
       annRecall(tbl(s, dir, "embeddings"), stagedIvfPqTwoLevelKnn, minRecall = 0.6)),
+    // s11: the incremental-append lifecycle — base-trained frozen model,
+    // delta appended assign-only, recall + staleness-vs-fresh-retrain gated
+    "s11_ivf_append_recall" -> ((s, dir) =>
+      annAppendGate(tbl(s, dir, "embeddings"), minRecall = 0.6, staleMargin = 0.1)),
+    // s12: filtered ANN — metadata predicate composed with the staged
+    // two-level probe BEFORE scoring; full top-k rows, replay-pinned
+    "s12_knn_filtered" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      stagedIvfTwoLevelFilteredKnn(emb, emb.filter(col("vec_id") < 10))
+        .orderBy("query_id", "rank")
+    }),
     // s6/s7: the product-quantized IVF path (compressed codes scanned, raw
     // vectors touched only by the bounded exact re-rank) through the same
     // staged-parquet contract and recall gate as s2-s5
@@ -1030,6 +1123,12 @@ object SparkEntry {
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
     "s10_ivfpq_twolevel_recall" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass FROM embeddings WHERE vec_id < 10",
+    "s11_ivf_append_recall" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass, " +
+        "true AS staleness_pass FROM embeddings WHERE vec_id < 10"),
+    "s12_knn_filtered" ->
+      """SELECT query_id, rank, neighbor_id, score FROM read_parquet('{STAGED}/replay_s12/*.parquet')
+        |ORDER BY query_id, rank""".stripMargin,
     // {M1_VALUES} = Verify's sequential no-Spark replay of the same
     // deterministic asset generation + decode, substituted at dump time
     "m1_multimodal_features" ->

@@ -136,6 +136,14 @@ object Verify {
       val (cs, pq) = SparkEntry.ivfPqModel(spark, sfDir)
       VerifyReplay.s6Knn(emb, cs, pq).toDF("query_id", "rank", "neighbor_id", "score")
     }
+    stage("s12") {
+      val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      VerifyReplay.s12Knn(emb, SparkEntry.ivfTwoLevelModel(spark, sfDir),
+          id => labels(id) % 2 == 0)
+        .toDF("query_id", "rank", "neighbor_id", "score")
+    }
   }
 
   /** Stage the WHOLETEXT-path event stats of the deterministic l1 log file:

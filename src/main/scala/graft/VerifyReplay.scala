@@ -247,6 +247,36 @@ object VerifyReplay {
     }
   }
 
+  // ---------------------------------------- s12: filtered two-level kNN --
+
+  /** Sequential [[Similarity.ivfIndexTwoLevel]] +
+    * [[Similarity.ivfKnnTwoLevelFilteredIndexed]] around the SAME staged
+    * two-level model the s9/s12 queries use: routed assignment
+    * (topSuper=2), routed probes ranked by (-dot, cell), the metadata
+    * predicate applied to candidates before scoring, exact re-rank. s12
+    * operating point: k=5, nProbe=6, nProbeSuper=3, allowed = even label.
+    */
+  def s12Knn(emb: Seq[(Long, Array[Float])], model: Similarity.IvfTwoLevel,
+             allowed: Long => Boolean, k: Int = 5, nProbe: Int = 6,
+             nProbeSuper: Int = 3): Seq[(Long, Int, Long, Double)] = {
+    val byCell = emb.groupBy { case (_, v) => model.assign(v, 2) }
+    val vecs = emb.toMap
+    emb.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      val scored = model.topSupers(qv, nProbeSuper).iterator.flatMap { s =>
+        model.childUnit(s).indices.iterator.map { c =>
+          val u = model.childUnit(s)(c); var d = 0.0; var j = 0
+          val lim = math.min(qv.length, u.length)
+          while (j < lim) { d += qv(j).toDouble * u(j); j += 1 }
+          (s * model.kChild + c, d)
+        }
+      }.toVector
+      val probed = scored.sortBy { case (cell, d) => (-d, cell) }.take(nProbe).map(_._1)
+      val cands = probed.flatMap(c => byCell.getOrElse(c, Nil).map(_._1))
+        .distinct.filter(_ != qid).filter(allowed)
+      topK(qid, cands.map(id => (id, cosine(qv, vecs(id)))), k)
+    }
+  }
+
   // ---------------------------------------------------- s6: IVF-PQ kNN --
 
   /** Sequential [[Similarity.ivfPqIndex]]+[[Similarity.ivfPqKnnIndexed]]
