@@ -496,11 +496,24 @@ object Dedup {
                           threshold: Double = 0.8, maxBlock: Int = TruthMaxBlock): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val wB = Window.partitionBy("source").orderBy("doc_id")
-    val capped = documents.select("doc_id", "source", "text")
-      .withColumn("_rn", row_number().over(wB))
-      .filter(col("_rn") <= maxBlock)
-      .drop("_rn")
+    val slim = documents.select("doc_id", "source", "text")
+    // ADAPTIVE CAP: the row_number window pays an exchange + sort that both
+    // join sides re-execute (~10% of this staging job, measured in
+    // BENCH/BASELINE.md §0e), yet at any scale this gate is ALLOWED to run
+    // at (truth_capped pinned false) no block exceeds maxBlock and the
+    // window is an exact no-op. One column-pruned partial-agg count decides
+    // — orders cheaper than the window it skips — and the capped branch is
+    // byte-identical to always-windowing when a block does exceed the cap.
+    val needsCap = slim.groupBy("source").count()
+      .filter(col("count") > maxBlock).limit(1).count() > 0
+    val capped =
+      if (!needsCap) slim
+      else {
+        val wB = Window.partitionBy("source").orderBy("doc_id")
+        slim.withColumn("_rn", row_number().over(wB))
+          .filter(col("_rn") <= maxBlock)
+          .drop("_rn")
+      }
     val sh = capped.as[(Long, String, String)]
       .map { case (id, src, t) => (id, src, shingleHashes(t, k)) }
       .toDF("doc_id", "source", "sh")
