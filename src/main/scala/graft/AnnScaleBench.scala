@@ -183,6 +183,27 @@ object AnnScaleBench {
         println(f"[ann-scale] ivf-dist recall@10=$recallDist%.3f vs 64-cell $recallRaw%.3f " +
           "(equal probe fraction 12.5%)")
 
+        // cacheTraining=false: the streaming-pass mode for corpora beyond
+        // executor storage. Both arms train from an UNPERSISTED generator-
+        // backed frame (each Lloyd pass re-derives its input — exactly the
+        // re-scan the mode exists for); fixed-point reduction ⇒ the model
+        // must be BIT-IDENTICAL either way, only wall time moves.
+        val embCold = corpus(spark, n, dim, nClusters = 65536)
+          .repartition(math.max(16, cores * 2))
+        val tCa = System.nanoTime()
+        val csCached = Similarity.ivfTrainDistributed(embCold, nCells = 4096,
+          iterations = 3, sampleFraction = 0.25)
+        val wallCa = (System.nanoTime() - tCa) / 1e9
+        val tNc = System.nanoTime()
+        val csNoCache = Similarity.ivfTrainDistributed(embCold, nCells = 4096,
+          iterations = 3, sampleFraction = 0.25, cacheTraining = false)
+        val wallNc = (System.nanoTime() - tNc) / 1e9
+        val modelEq = csCached.length == csNoCache.length &&
+          csCached.zip(csNoCache).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+        println(f"[ann-scale] ivf-dist-train cacheTraining: cached=$wallCa%.1fs " +
+          f"streamed=$wallNc%.1fs modelBitIdentical=$modelEq")
+        require(modelEq, "cacheTraining=false changed the model — determinism contract broken")
+
         // TWO-LEVEL at cells == natural clusters: 65,536 cells (256 supers
         // × 256 children each). FLAT assignment at this cell count costs
         // n × nCells × dim ≈ 4e12 dot-mults (minutes of cluster time per
@@ -207,6 +228,42 @@ object AnnScaleBench {
           println(f"[ann-scale] ivf-2l recall@10=$r%.3f at nProbe=$np/65536 " +
             f"(probe fraction ${np / 655.36}%.2f%%)")
         }
+
+        // INCREMENTAL APPEND vs FULL REBUILD on the daily-growth shape: 10%
+        // new vectors (same mixture, fresh ids). Append = one assign-only
+        // routed pass over the DELTA through the frozen model; rebuild =
+        // retrain two-level + reassign the whole grown corpus. The recall
+        // gap on the grown corpus is the staleness signal that decides when
+        // appends must give way to a retrain (the s11 driver gate).
+        val nd = n / 10
+        val delta = corpus(spark, n + nd, dim, nClusters = 65536)
+          .filter(col("vec_id") >= n)
+        val grown = embFine.unionByName(delta)
+        val qGrown = grown.filter(col("vec_id") < nQueries / 2 ||
+          (col("vec_id") >= n && col("vec_id") < n + nQueries / 2))
+        val bruteGrown = run("brute-grown")(Similarity.bruteForceKnn(grown, qGrown, k = 10))
+        val tApp = System.nanoTime()
+        val deltaIdx = Similarity.ivfIndexTwoLevel(delta, m2l).persist()
+        deltaIdx.count()
+        val wallApp = (System.nanoTime() - tApp) / 1e9
+        val idxAppended = idx2l.unionByName(deltaIdx)
+        val gotApp = run("ivf-2l-appended")(Similarity.ivfKnnTwoLevelIndexed(
+          idxAppended, m2l, qGrown, k = 10, nProbe = 64, nProbeSuper = 8))
+        val rApp = gotApp.intersect(bruteGrown).size.toDouble / bruteGrown.size
+        val tReb = System.nanoTime()
+        val mReb = Similarity.ivfTrainTwoLevel(grown, nCells = 65536, nSuper = 256,
+          iterations = 3, sampleFraction = 0.25)
+        val idxReb = Similarity.ivfIndexTwoLevel(grown, mReb).persist()
+        idxReb.count()
+        val wallReb = (System.nanoTime() - tReb) / 1e9
+        val gotReb = run("ivf-2l-rebuilt")(Similarity.ivfKnnTwoLevelIndexed(
+          idxReb, mReb, qGrown, k = 10, nProbe = 64, nProbeSuper = 8))
+        val rReb = gotReb.intersect(bruteGrown).size.toDouble / bruteGrown.size
+        deltaIdx.unpersist(); idxReb.unpersist()
+        println(f"[ann-scale] ivf-2l append-vs-rebuild (+10%%): append=$wallApp%.1fs " +
+          f"recall=$rApp%.3f | rebuild=$wallReb%.1fs recall=$rReb%.3f " +
+          f"(staleness gap=${rReb - rApp}%.3f)")
+
         idx2l.unpersist()
 
         // COMPOSED: router + PQ codes — 65,536 cells of nSub+4 B/vector.

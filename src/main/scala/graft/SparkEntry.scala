@@ -282,15 +282,16 @@ object SparkEntry {
       s.read.parquet(s"${ivf2lDir(tbl(s, dir, "embeddings"))}/model"))
 
   /** FILTERED ANN through s9's staged two-level index: the metadata
-    * predicate (label even — the attribute is read from the corpus table
-    * and filtered with an ordinary pushed-down predicate, standing in for
+    * predicate (label < 5 — the attribute is read from the corpus table
+    * and filtered with an ordinary PUSHED-DOWN comparison, standing in for
     * the source/license/date attribute join of a real training-data
-    * retrieval) lands as a left-semi join on the candidate stream before
-    * any cosine is evaluated. Same operating point as s9.
+    * retrieval; PlanSpec asserts it lands in the parquet scan's
+    * PushedFilters) lands as a left-semi join on the candidate stream
+    * before any cosine is evaluated. Same operating point as s9.
     */
   private def stagedIvfTwoLevelFilteredKnn(emb: DataFrame, q: DataFrame): DataFrame = {
     val dir = ivf2lDir(emb)
-    val allowed = emb.filter(col("label") % 2 === 0).select(col("vec_id").as("id"))
+    val allowed = emb.filter(col("label") < 5).select(col("vec_id").as("id"))
     Similarity.ivfKnnTwoLevelFilteredIndexed(
       emb.sparkSession.read.parquet(s"$dir/ivf"),
       Similarity.twoLevelFromDf(emb.sparkSession.read.parquet(s"$dir/model")),

@@ -254,7 +254,7 @@ object VerifyReplay {
     * two-level model the s9/s12 queries use: routed assignment
     * (topSuper=2), routed probes ranked by (-dot, cell), the metadata
     * predicate applied to candidates before scoring, exact re-rank. s12
-    * operating point: k=5, nProbe=6, nProbeSuper=3, allowed = even label.
+    * operating point: k=5, nProbe=6, nProbeSuper=3, allowed = label < 5.
     */
   def s12Knn(emb: Seq[(Long, Array[Float])], model: Similarity.IvfTwoLevel,
              allowed: Long => Boolean, k: Int = 5, nProbe: Int = 6,

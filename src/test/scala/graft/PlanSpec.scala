@@ -128,6 +128,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scanLine.contains("l_quantity"), scanLine)
   }
 
+  test("s12 filtered ANN pushes the label predicate into the attribute scan") {
+    // the predicate feeding the allowed-id semi-join must land in the
+    // embeddings parquet scan as a pushed filter, not a post-scan Filter
+    // over all rows — at 100 TB the attribute table is read predicate-first
+    val plan = planOf(SparkEntry.queries("s12_knn_filtered")(spark, sfDir))
+    val scanLines = plan.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("label")).toSeq
+    assert(scanLines.nonEmpty,
+      plan.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    assert(plan.contains("LeftSemi"))
+  }
+
   test("brute-force knn broadcasts the query side (no corpus shuffle before scoring)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = planOf(graft.operators.Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 3), 3))
