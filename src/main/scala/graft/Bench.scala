@@ -64,8 +64,8 @@ object Bench {
     "s4_lsh_recall", "s8_ivf_dist_recall", "s9_ivf_twolevel_recall",
     "s10_ivfpq_twolevel_recall", "t2_tokencounts",
     "m2_multimodal_verify", "p3_per_tool",
-    // appended round 6 (append lifecycle + filtered ANN)
-    "s11_ivf_append_recall", "s12_knn_filtered")
+    // appended round 6 (append lifecycle + filtered ANN, raw + compressed)
+    "s11_ivf_append_recall", "s12_knn_filtered", "s13_ivfpq_filtered_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

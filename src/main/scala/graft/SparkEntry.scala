@@ -359,8 +359,8 @@ object SparkEntry {
     * model + codebooks, bucketed vector table for the exact re-rank. Same
     * operating point as s7 (nSub=16, rerank=40) plus s9's routing.
     */
-  private def stagedIvfPqTwoLevelKnn(emb: DataFrame, q: DataFrame): DataFrame = {
-    val dir = cachedIndexDir("ivfpq2l", emb) { d =>
+  private def ivfPq2lDir(emb: DataFrame): String =
+    cachedIndexDir("ivfpq2l", emb) { d =>
       val m = Similarity.ivfTrainTwoLevel(emb, nCells = 16, nSuper = 4)
       val pq = Similarity.pqTrainTwoLevel(emb, m, nSub = 16, k = 16)
       Similarity.ivfPqIndexTwoLevel(emb, m, pq).write.partitionBy("super").parquet(s"$d/ivfpq")
@@ -368,13 +368,43 @@ object SparkEntry {
       Similarity.pqModelToDf(emb.sparkSession, pq).write.parquet(s"$d/pqmodel")
       Similarity.vectorTableBucketed(emb).write.partitionBy("id_bucket").parquet(s"$d/vectors")
     }
+
+  private def stagedIvfPqTwoLevelKnn(emb: DataFrame, q: DataFrame,
+                                     allowed: Option[DataFrame] = None): DataFrame = {
+    val dir = ivfPq2lDir(emb)
     val spark = emb.sparkSession
-    Similarity.ivfPqKnnTwoLevelIndexed(
+    Similarity.ivfPqKnnTwoLevelFilteredIndexed(
       spark.read.parquet(s"$dir/ivfpq"),
       Similarity.twoLevelFromDf(spark.read.parquet(s"$dir/model")),
       Similarity.pqModelFromDf(spark.read.parquet(s"$dir/pqmodel")),
       spark.read.parquet(s"$dir/vectors"),
-      q, k = 5, nProbe = 6, nProbeSuper = 3, rerank = 40)
+      q, allowed, k = 5, nProbe = 6, nProbeSuper = 3, rerank = 40)
+  }
+
+  /** s13 gate row: filtered ANN on the COMPRESSED serving path —
+    * (n_queries, recall_pass, no_leak). Truth = exact brute force over the
+    * predicate-admitted corpus; no_leak pins that no disallowed vector
+    * survives to the result (pre-filtering guarantees it by construction —
+    * this row keeps the guarantee on the driver's hard signal).
+    */
+  private def annFilteredPqRecall(emb: DataFrame, minRecall: Double): DataFrame = {
+    val q = emb.filter(col("vec_id") < 10)
+    val allowed = emb.filter(col("label") < 5).select(col("vec_id").as("id"))
+    val approx = stagedIvfPqTwoLevelKnn(emb, q, Some(allowed))
+      .select("query_id", "neighbor_id")
+    val brute = Similarity.bruteForceKnn(emb.filter(col("label") < 5), q, k = 5)
+      .select("query_id", "neighbor_id")
+    val stats = brute.agg(countDistinct("query_id").as("n_queries"), count(lit(1)).as("total"))
+    val hits = approx.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val leaks = approx.join(allowed, col("neighbor_id") === col("id"), "left_anti")
+      .agg(count(lit(1)).as("leaks"))
+    stats.crossJoin(hits).crossJoin(leaks)
+      .select(col("n_queries"),
+        when(col("total") === 0L, lit(true))
+          .otherwise(col("hits").cast("double") / col("total") >= minRecall)
+          .as("recall_pass"),
+        (col("leaks") === 0L).as("no_leak"))
   }
 
   /** IVF-PQ kNN through a parquet-staged compressed index: coarse centroids
@@ -782,7 +812,7 @@ object SparkEntry {
     // s10: router + compressed codes composed (two-level IVF-PQ) — the
     // full 100 TB serving layout, gated like s7/s9
     "s10_ivfpq_twolevel_recall" -> ((s, dir) =>
-      annRecall(tbl(s, dir, "embeddings"), stagedIvfPqTwoLevelKnn, minRecall = 0.6)),
+      annRecall(tbl(s, dir, "embeddings"), stagedIvfPqTwoLevelKnn(_, _), minRecall = 0.6)),
     // s11: the incremental-append lifecycle — base-trained frozen model,
     // delta appended assign-only, recall + staleness-vs-fresh-retrain gated
     "s11_ivf_append_recall" -> ((s, dir) =>
@@ -794,6 +824,11 @@ object SparkEntry {
       stagedIvfTwoLevelFilteredKnn(emb, emb.filter(col("vec_id") < 10))
         .orderBy("query_id", "rank")
     }),
+    // s13: the same predicate composition on the COMPRESSED (IVF-PQ
+    // two-level) serving path — the semi-join cuts code rows before the
+    // ADC scan; recall gated vs brute over the admitted corpus + no-leak
+    "s13_ivfpq_filtered_recall" -> ((s, dir) =>
+      annFilteredPqRecall(tbl(s, dir, "embeddings"), minRecall = 0.6)),
     // s6/s7: the product-quantized IVF path (compressed codes scanned, raw
     // vectors touched only by the bounded exact re-rank) through the same
     // staged-parquet contract and recall gate as s2-s5
@@ -1130,6 +1165,9 @@ object SparkEntry {
     "s12_knn_filtered" ->
       """SELECT query_id, rank, neighbor_id, score FROM read_parquet('{STAGED}/replay_s12/*.parquet')
         |ORDER BY query_id, rank""".stripMargin,
+    "s13_ivfpq_filtered_recall" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_pass, " +
+        "true AS no_leak FROM embeddings WHERE vec_id < 10"),
     // {M1_VALUES} = Verify's sequential no-Spark replay of the same
     // deterministic asset generation + decode, substituted at dump time
     "m1_multimodal_features" ->

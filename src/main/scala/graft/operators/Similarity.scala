@@ -737,6 +737,51 @@ object Similarity {
       .toDF("super", "cell", "id", "emb")
   }
 
+  /** COMPACTION for the append lifecycle: every [[ivfIndexTwoLevel]]
+    * `mode("append")` leaves one more file set in each touched super's
+    * partition, so after k appends a probe pays k+1 file opens per probed
+    * super and loses row-group locality. This rewrites ONLY the supers
+    * whose file count exceeds `targetFiles` — each as one bounded job:
+    * read `super=S`, coalesce, write to a sibling staging dir, then swap
+    * via rename (atomic per partition directory on HDFS-like filesystems;
+    * readers of untouched supers never see a change, and the model is not
+    * touched at all). Returns the compacted super ids. The read happens
+    * fully before the swap (write-to-staging), so this never hits the
+    * read-overwrite-same-path hazard; at 100 TB each super partition is a
+    * few GB and compaction parallelizes per super like any other
+    * partition-wise maintenance job.
+    */
+  def compactIndexTwoLevel(spark: SparkSession, indexDir: String,
+                           targetFiles: Int = 1): Seq[Int] = {
+    require(targetFiles >= 1, s"bad targetFiles $targetFiles")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(hconf)
+    val superDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("super="))
+      .map(_.getPath)
+    val touched = superDirs.filter { p =>
+      fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) > targetFiles
+    }
+    touched.map { p =>
+      val superId = p.getName.stripPrefix("super=").toInt
+      val tmp = new org.apache.hadoop.fs.Path(root, s".compact-tmp-super=$superId")
+      fs.delete(tmp, true)
+      // partition-column value is implied by the directory; rows inside
+      // carry the remaining columns — write them as-is, coalesced
+      spark.read.parquet(p.toString).coalesce(targetFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      // drop the _SUCCESS marker so the swapped dir holds data files only
+      fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+      val bak = new org.apache.hadoop.fs.Path(root, s".compact-old-super=$superId")
+      fs.delete(bak, true)
+      require(fs.rename(p, bak), s"could not move aside $p")
+      require(fs.rename(tmp, p), s"could not swap in compacted $tmp")
+      fs.delete(bak, true)
+      superId
+    }.toSeq.sorted
+  }
+
   /** QUERY phase, two-level: probe the best `nProbe` cells found among the
     * `nProbeSuper` nearest supers' children (ranked by unit-dot — the same
     * router the index used), then the standard slim probe join + exact
@@ -870,7 +915,24 @@ object Similarity {
   def ivfPqKnnTwoLevelIndexed(index: DataFrame, model: IvfTwoLevel, pq: PqModel,
                               vectors: DataFrame, queries: DataFrame,
                               k: Int = 5, nProbe: Int = 8, nProbeSuper: Int = 8,
-                              rerank: Int = 8): DataFrame = {
+                              rerank: Int = 8): DataFrame =
+    ivfPqKnnTwoLevelFilteredIndexed(index, model, pq, vectors, queries, None,
+      k, nProbe, nProbeSuper, rerank)
+
+  /** FILTERED ANN on the COMPRESSED path: the
+    * [[ivfKnnTwoLevelFilteredIndexed]] composition applied to the IVF-PQ
+    * serving layout. The left-semi predicate cut lands on the slim
+    * (nSub+4 B) code rows BEFORE the ADC scan, so disallowed vectors cost
+    * neither an ADC accumulation nor a re-rank slot — with a selective
+    * predicate the in-scan top-(k·rerank) heaps fill with admissible
+    * candidates only, which is what makes pre-filtering beat post-filtering
+    * on recall at equal rerank budget.
+    */
+  def ivfPqKnnTwoLevelFilteredIndexed(index: DataFrame, model: IvfTwoLevel, pq: PqModel,
+                                      vectors: DataFrame, queries: DataFrame,
+                                      allowed: Option[DataFrame],
+                                      k: Int = 5, nProbe: Int = 8, nProbeSuper: Int = 8,
+                                      rerank: Int = 8): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val bcM = spark.sparkContext.broadcast(model)
@@ -893,8 +955,13 @@ object Similarity {
           .map { case (s, cell, _) => (s, cell, qid, emb) }
       }.toDF("super", "cell", "query_id", "q_emb")
 
-    val joined = index.join(broadcast(probes), Seq("super", "cell"))
+    val probed = index.join(broadcast(probes), Seq("super", "cell"))
       .filter(col("id") =!= col("query_id"))
+    val admitted = allowed match {
+      case Some(ok) => probed.join(ok.select(col("id")), Seq("id"), "left_semi")
+      case None => probed
+    }
+    val joined = admitted
       .select(col("query_id"), col("q_emb"), col("cell"), col("id"), col("codes"), col("norm"))
       .as[(Long, Array[Float], Int, Long, Array[Byte], Float)]
     adcScanRerank(joined, bcFlat, bcP, vectors, qn, k, k * rerank)

@@ -531,6 +531,68 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected LeftSemi BELOW (printed after) the cosine projection:\n$plan")
   }
 
+  test("filtered ANN, compressed path: semi-join cuts code rows pre-ADC, no leaks, recall holds") {
+    import spark.implicits._
+    val n = 2000L
+    val corr = spark.range(n).map(id => (id, graft.AnnScaleBench.vecCorrelated(id, n, 16, 8)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.ivfTrainTwoLevel(corr, nCells = 16, nSuper = 4)
+    val pq = Similarity.pqTrainTwoLevel(corr, m, nSub = 8, k = 16)
+    val idx = Similarity.ivfPqIndexTwoLevel(corr, m, pq)
+    val allowed = corr.select(col("vec_id").as("id")).filter(col("id") % 10 % 2 === 0)
+    val q = corr.filter(col("vec_id") % 250 === 0)
+    val got = Similarity.ivfPqKnnTwoLevelFilteredIndexed(idx, m, pq,
+      Similarity.vectorTable(corr), q, Some(allowed),
+      k = 5, nProbe = 4, nProbeSuper = 2, rerank = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val allowedIds = allowed.as[Long].collect().toSet
+    assert(got.nonEmpty && got.forall { case (_, nb) => allowedIds.contains(nb) },
+      "a disallowed vector leaked through the compressed filtered path")
+    val bruteFiltered = Similarity.bruteForceKnn(
+      corr.filter(col("vec_id") % 10 % 2 === 0), q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.toSet.intersect(bruteFiltered).size.toDouble / bruteFiltered.size
+    assert(recall >= 0.85, s"filtered compressed recall = $recall")
+  }
+
+  test("index compaction: appended supers collapse to target file count, query results identical") {
+    import spark.implicits._
+    val n = 2000L
+    val corr = spark.range(n).map(id => (id, graft.AnnScaleBench.vecCorrelated(id, n, 16, 8)))
+      .toDF("vec_id", "embedding")
+    val base = corr.filter(col("vec_id") % 10 =!= 0)
+    val m = Similarity.ivfTrainTwoLevel(base, nCells = 16, nSuper = 4)
+    val stage = graft.pipeline.Staging.tempDir("graft-compact-test")
+    try {
+      val dir = s"$stage/ivf"
+      Similarity.ivfIndexTwoLevel(base, m).write.partitionBy("super").parquet(dir)
+      // two append batches — each leaves another file set per touched super
+      for (r <- Seq(0, 5))
+        Similarity.ivfIndexTwoLevel(corr.filter(col("vec_id") % 10 === r), m)
+          .write.mode("append").partitionBy("super").parquet(dir)
+      def filesPerSuper: Map[String, Int] = {
+        val root = new java.io.File(dir)
+        root.listFiles.filter(f => f.isDirectory && f.getName.startsWith("super="))
+          .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet"))).toMap
+      }
+      val before = filesPerSuper
+      assert(before.values.max >= 3, s"append fixture produced $before")
+      val q = corr.filter(col("vec_id") % 250 === 0)
+      def results = Similarity.ivfKnnTwoLevelIndexed(
+          spark.read.parquet(dir), m, q, k = 5, nProbe = 4, nProbeSuper = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = results
+      val compacted = Similarity.compactIndexTwoLevel(spark, dir)
+      assert(compacted.nonEmpty)
+      val after = filesPerSuper
+      assert(compacted.forall(s => after(s"super=$s") == 1), s"after=$after")
+      // untouched supers (if any) keep their files; results are identical
+      assert(results == want)
+      // idempotent: nothing left to compact
+      assert(Similarity.compactIndexTwoLevel(spark, dir).isEmpty)
+    } finally graft.pipeline.Staging.deleteRecursively(stage)
+  }
+
   test("ANN staged indexes: parquet round-tripped LSH/IVF give identical results to one-shot") {
     val stage = graft.pipeline.Staging.tempDir("graft-ann-test")
     try {
