@@ -81,6 +81,29 @@ object LogSplitBench {
       val split = timed(s"split-${chunkMB}MB-chunks")(LogFiles.eventsSplit(
         spark, file.toString, bank, chunkBytes = chunkMB.toLong << 20).count())
       require(whole == split, s"event counts diverged: whole=$whole split=$split")
+
+      // STREAMING twin: the same file arriving in a watched dir, parsed by
+      // eventsStream's within-file split (discovery-only source, per-file
+      // boundary scan, regions repartitioned). One micro-batch; wall
+      // includes the stream's scheduling overhead — the honest number a
+      // stream consumer sees for one oversized file.
+      val streamDir = dir.resolve("stream-in")
+      graft.pipeline.Staging.deleteRecursively(streamDir.toString)
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.createLink(streamDir.resolve("big.log"), file)
+      val acc = spark.sparkContext.longAccumulator("stream-events")
+      val q = LogFiles.eventsStream(spark, streamDir.toString, bank,
+          maxFilesPerTrigger = 1, chunkBytes = chunkMB.toLong << 20)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[LogFiles.LogEvent], _: Long) =>
+          acc.add(batch.count())
+        }
+        .start()
+      try {
+        val streamed = timed("stream-split")({ q.processAllAvailable(); acc.value })
+        require(streamed == whole, s"stream diverged: stream=$streamed whole=$whole")
+      } finally q.stop()
     } finally spark.stop()
   }
 }
