@@ -504,6 +504,10 @@ object Dedup {
     // window is an exact no-op. One column-pruned partial-agg count decides
     // — orders cheaper than the window it skips — and the capped branch is
     // byte-identical to always-windowing when a block does exceed the cap.
+    // DELIBERATE EAGER ACTION at construction time (same contract as the
+    // bounded auto-stage probe above): this builder exists to be executed
+    // immediately — its one production caller stages the result to parquet
+    // and memoizes it per process — so the probe runs once, not per gate.
     val needsCap = slim.groupBy("source").count()
       .filter(col("count") > maxBlock).limit(1).count() > 0
     val capped =

@@ -631,6 +631,7 @@ object Similarity {
     */
   private[operators] def capByHash(it: Iterator[(Long, Array[Float])],
                                    cap: Int): Array[(Long, Array[Float])] = {
+    require(cap >= 1, s"bad cap $cap")
     // max-heap by (unsigned hash, id): head = largest key = first evicted
     val heap = new java.util.PriorityQueue[(Long, Long, Array[Float])](
       math.max(1, math.min(cap, 1024)),
@@ -743,13 +744,26 @@ object Similarity {
     * super and loses row-group locality. This rewrites ONLY the supers
     * whose file count exceeds `targetFiles` — each as one bounded job:
     * read `super=S`, coalesce, write to a sibling staging dir, then swap
-    * via rename (atomic per partition directory on HDFS-like filesystems;
-    * readers of untouched supers never see a change, and the model is not
-    * touched at all). Returns the compacted super ids. The read happens
+    * via two renames. Returns the compacted super ids. The read happens
     * fully before the swap (write-to-staging), so this never hits the
     * read-overwrite-same-path hazard; at 100 TB each super partition is a
     * few GB and compaction parallelizes per super like any other
     * partition-wise maintenance job.
+    *
+    * CONSISTENCY CONTRACT (what a directory layout without a transaction
+    * log can and cannot give — the transactional version of this job is
+    * exactly what an Iceberg/Delta binding would buy):
+    *  - SINGLE MAINTAINER: no concurrent append may run during compaction —
+    *    a file appended into `super=S` between the read and the swap would
+    *    be swapped out with the old directory and dropped. Appends and
+    *    compaction are both maintenance-side operations; serialize them.
+    *  - CRASH WINDOW: between the two renames the live `super=S` is absent
+    *    (its rows are in `.compact-old-super=S`). The window is two
+    *    metadata operations wide; a crash inside it leaves a RECOVERABLE
+    *    layout, never a lost one — run [[recoverCompaction]] (idempotent)
+    *    before the next read/append to restore the partition and clear
+    *    leftover staging dirs. Probing a partially-compacted index without
+    *    recovery under-returns for the affected super only.
     */
   def compactIndexTwoLevel(spark: SparkSession, indexDir: String,
                            targetFiles: Int = 1): Seq[Int] = {
@@ -776,10 +790,43 @@ object Similarity {
       val bak = new org.apache.hadoop.fs.Path(root, s".compact-old-super=$superId")
       fs.delete(bak, true)
       require(fs.rename(p, bak), s"could not move aside $p")
-      require(fs.rename(tmp, p), s"could not swap in compacted $tmp")
+      if (!fs.rename(tmp, p)) {
+        // restore the original rather than leaving the partition absent;
+        // only if the restore ALSO fails is manual recoverCompaction needed
+        val restored = fs.rename(bak, p)
+        throw new IllegalStateException(
+          s"could not swap in compacted $tmp" +
+            (if (restored) " (original partition restored)"
+             else s" AND could not restore $bak — run recoverCompaction($indexDir)"))
+      }
       fs.delete(bak, true)
       superId
     }.toSeq.sorted
+  }
+
+  /** Idempotent crash recovery for [[compactIndexTwoLevel]]: any
+    * `.compact-old-super=S` left behind while the live `super=S` is absent
+    * is renamed back (the crash hit inside the swap window — the old rows
+    * are authoritative), and all `.compact-tmp-*` / remaining
+    * `.compact-old-*` staging dirs are removed. Safe to run any time the
+    * index is quiescent; returns the supers it restored.
+    */
+  def recoverCompaction(spark: SparkSession, indexDir: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(root).map(_.getPath)
+    val restored = entries.filter(_.getName.startsWith(".compact-old-super=")).flatMap { bak =>
+      val superId = bak.getName.stripPrefix(".compact-old-super=").toInt
+      val live = new org.apache.hadoop.fs.Path(root, s"super=$superId")
+      if (!fs.exists(live)) {
+        require(fs.rename(bak, live), s"could not restore $bak")
+        Some(superId)
+      } else None
+    }
+    entries.filter(p => p.getName.startsWith(".compact-tmp-") ||
+        (p.getName.startsWith(".compact-old-") && fs.exists(p)))
+      .foreach(p => fs.delete(p, true))
+    restored.toSeq.sorted
   }
 
   /** QUERY phase, two-level: probe the best `nProbe` cells found among the

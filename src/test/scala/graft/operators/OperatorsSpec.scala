@@ -590,6 +590,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(results == want)
       // idempotent: nothing left to compact
       assert(Similarity.compactIndexTwoLevel(spark, dir).isEmpty)
+      // crash recovery: simulate dying inside the swap window (live dir
+      // renamed aside, compacted tmp never swapped in) — recoverCompaction
+      // restores the partition and clears staging; results return to `want`
+      val victim = compacted.head
+      val root = new java.io.File(dir)
+      val live = new java.io.File(root, s"super=$victim")
+      val bak = new java.io.File(root, s".compact-old-super=$victim")
+      val tmpD = new java.io.File(root, s".compact-tmp-super=$victim")
+      assert(live.renameTo(bak))
+      tmpD.mkdirs() // leftover staging dir from the crashed job
+      val recovered = Similarity.recoverCompaction(spark, dir)
+      assert(recovered == Seq(victim), s"recovered=$recovered")
+      assert(live.isDirectory && !bak.exists && !tmpD.exists)
+      assert(results == want)
+      // idempotent on a clean layout
+      assert(Similarity.recoverCompaction(spark, dir).isEmpty)
     } finally graft.pipeline.Staging.deleteRecursively(stage)
   }
 
