@@ -893,6 +893,34 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** STREAMING SERVE: top-k over a STREAM of query vectors against the
+    * staged two-level index — the deployment shape of a nightly-built
+    * (and incrementally appended) index answering online query batches.
+    * Top-k is a per-batch ranking, not a continuous aggregate, so
+    * append-mode streaming cannot express it as a plan; `foreachBatch` is
+    * the idiomatic Structured Streaming answer — each trigger's queries
+    * run the EXACT batch kernel ([[ivfKnnTwoLevelFilteredIndexed]],
+    * including an optional metadata filter) and the results go to `sink`
+    * with the batch id (exactly-once per trigger under a checkpointed
+    * sink; same guarantee contract as any foreachBatch consumer). Stream
+    * semantics: results for a query depend only on its own batch and the
+    * static index — batch ≡ stream equality is by construction and
+    * asserted in StreamingSpec.
+    */
+  def ivfKnnTwoLevelServe(index: DataFrame, model: IvfTwoLevel,
+                          queryStream: DataFrame,
+                          sink: (DataFrame, Long) => Unit,
+                          allowed: Option[DataFrame] = None,
+                          k: Int = 5, nProbe: Int = 8, nProbeSuper: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(ivfKnnTwoLevelFilteredIndexed(index, model, batch, allowed,
+          k, nProbe, nProbeSuper), batchId)
+      }
+      .start()
+
   /** Two-level model ↔ DataFrame converters (same staged-parquet lifecycle
     * as [[centroidsToDf]]): child rows are (super, child, centroid), the
     * super row is (super, -1, centroid).

@@ -202,6 +202,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming ANN serve: per-trigger query batches equal the batch kNN on their union") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val n = 2000L
+    val corr = spark.range(n).map(id => (id, graft.AnnScaleBench.vecCorrelated(id, n, 16, 8)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.ivfTrainTwoLevel(corr, nCells = 16, nSuper = 4)
+    val stage = graft.pipeline.Staging.tempDir("graft-serve-test")
+    try {
+      Similarity.ivfIndexTwoLevel(corr, m).write.partitionBy("super").parquet(s"$stage/ivf")
+      val index = spark.read.parquet(s"$stage/ivf")
+      // two query batches arrive as separate files
+      val qDir = s"$stage/queries"
+      corr.filter(col("vec_id") % 500 === 0).coalesce(1).write.parquet(qDir)
+      corr.filter(col("vec_id") % 500 === 250).coalesce(1)
+        .write.mode("append").parquet(qDir)
+      val qStream = spark.readStream
+        .schema(corr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qDir)
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Long, Double)]()
+      val q = Similarity.ivfKnnTwoLevelServe(index, m, qStream,
+        (res, _) => res.collect().foreach(r =>
+          got.add((r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))),
+        k = 5, nProbe = 4, nProbeSuper = 2)
+      try q.processAllAvailable() finally q.stop()
+      val want = Similarity.ivfKnnTwoLevelIndexed(index, m,
+          corr.filter(col("vec_id") % 250 === 0), k = 5, nProbe = 4, nProbeSuper = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got.size == want.size && got.iterator().hasNext)
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == want, "streamed per-batch kNN diverged from the batch union")
+    } finally graft.pipeline.Staging.deleteRecursively(stage)
+  }
+
   test("streaming .log within-file split: an oversized file parses in bounded regions, identical to batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-logstream-split").toString
