@@ -20,6 +20,16 @@ import graft.pipeline.{Aggregate, Enrich, Parse, Route}
   */
 object SparkEntry {
 
+  // Scan-parallelism note (measured and REJECTED, round 7): the base tables
+  // are single-row-group parquet files, so scans yield 1–3 partitions and
+  // per-row map work runs on few cores. A conditional round-robin
+  // `repartition(defaultParallelism)` after each read was benched: it made
+  // 13 of 15 checked rows SLOWER (q1 0.61→1.02 s, q21 1.09→2.52, d1
+  // 0.55→1.13, d4 2.74→3.99, s2 10.9→16.2 isolated) — the exchange pays a
+  // local sort (spark.sql.execution.sortBeforeRepartition) plus a full
+  // shuffle of raw text/vector payloads, while the O(n²) pair/probe work
+  // already runs post-shuffle on all cores; only O(n) map passes were
+  // serial, and they are cheap at validation scale. Keep the plain scan.
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -46,7 +56,12 @@ object SparkEntry {
       |UNION ALL SELECT doc_id+200000 AS doc_id, regexp_replace(text,'table','tables','g') AS text, lang, source, n_chars FROM documents WHERE doc_id%7=0""".stripMargin
 
   /** Synthetic transcripts sized for the sf dir + the parsed/enriched view
-    * (pipeline P1–P3), reused by the p* queries.
+    * (pipeline P1–P3), reused by the p* queries. Staying LAZY is a measured
+    * choice (round 7): staging this view to parquet once for the five
+    * p-rows was benched twice and LOST both times (p-group 4.14 s lazy vs
+    * 4.39/5.19 s staged) — the parsed rows carry the per-turn token
+    * array, so the staging write moves more bytes than the five codegen'd
+    * re-parses cost. Opposite sign from the slim pair/truth stagings below.
     */
   private def enrichedTranscripts(spark: SparkSession, dir: String): DataFrame = {
     val turns = SyntheticTranscripts.generate(spark, SyntheticTranscripts.convsForSfDir(dir))
@@ -69,7 +84,9 @@ object SparkEntry {
       ":" + System.identityHashCode(corpus.sparkSession)
     annIndexCache.computeIfAbsent(key, { _ =>
       val d = graft.pipeline.Staging.tempDirDeletedOnExit("graft-ann-index")
+      val t0 = System.nanoTime()
       build(d)
+      System.err.println(f"[graft-stage] index $method%-12s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       d
     })
   }
@@ -115,6 +132,54 @@ object SparkEntry {
                                (build: => DataFrame): DataFrame =
     stagedQueryCache.computeIfAbsent(
       s"$name:$sfDir:${System.identityHashCode(spark)}", _ => build)
+
+  /** Staged-parquet memo of a BOUNDED intermediate shared by several driver
+    * rows (truth pair sets, brute-force top-k truth, shipped pair outputs):
+    * built once per (name, sf dir, session), written to a JVM-exit-scoped
+    * temp dir, and read back as a slim parquet frame. Rationale (guide §1
+    * first-principles): a frame referenced by k gate rows × m aggregation
+    * branches is otherwise re-executed k·m times — the round-6 surface
+    * re-ran the SAME brute-force truth subtree 14× and the d3 pair plan 3×
+    * per bench pass. The staged results are small (≤ a few hundred rows),
+    * the job that produces them runs INSIDE the first touching row's timed
+    * region, and nothing persists across processes — same lifecycle as the
+    * d9 truth staging this generalizes.
+    */
+  private def stagedShared(name: String, s: SparkSession, dir: String)
+                          (build: => DataFrame): DataFrame =
+    cachedStagedQuery(name, s, dir) {
+      val d = graft.pipeline.Staging.tempDirDeletedOnExit(s"graft-$name")
+      val t0 = System.nanoTime()
+      build.write.mode("overwrite").parquet(s"$d/out")
+      System.err.println(f"[graft-stage] shared $name%-12s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      s.read.parquet(s"$d/out")
+    }
+
+  /** In-process memo for the tiny trained ANN models (centroid sets): s3/s6
+    * train the SAME flat 16-cell model and s9/s10 the SAME two-level model —
+    * the training passes over the corpus are deterministic pure functions of
+    * (corpus, params), so the second trainer run per process is pure waste.
+    * Keyed like [[annIndexCache]] (semantic hash + session identity).
+    */
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def cachedModel[T <: AnyRef](method: String, corpus: DataFrame)(train: => T): T =
+    modelCache.computeIfAbsent(
+      method + ":" + corpus.queryExecution.analyzed.semanticHash() +
+        ":" + System.identityHashCode(corpus.sparkSession), _ => train).asInstanceOf[T]
+
+  /** The ANN gates' shared query batch: the 10 lowest-id vectors. */
+  private def q10(emb: DataFrame): DataFrame = emb.filter(col("vec_id") < 10)
+
+  /** The exact brute-force top-k truth (query_id, neighbor_id) that every
+    * unfiltered ANN recall gate compares against — one staged job instead of
+    * a re-executed corpus-scan subtree per gate × branch (s4/s5/s7/s8/s9/
+    * s10/s11 reference it 14× per full pass).
+    */
+  private def bruteTruth(s: SparkSession, dir: String): DataFrame =
+    stagedShared("brute-truth", s, dir) {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb, q10(emb), k = 5).select("query_id", "neighbor_id")
+    }
 
   /** l1 fixture: a deterministic synthetic hive-style .log file
     * (LogSplitBench.writeLog content — multi-line events, ERROR lines)
@@ -163,18 +228,31 @@ object SparkEntry {
 
   /** The SHIPPED staged minhash/simhash pair plans — shared by the d3/d4
     * raw-pair queries, the d9/d10 recall gates, and the d11 end-to-end
-    * pipeline query, so the gates grade exactly the plan users run.
+    * pipeline query, so the gates grade exactly the plan users run. The
+    * pair OUTPUT (a few hundred slim rows) is itself staged: the d3 plan
+    * was otherwise re-executed by d9's hits branch and d11's cluster input
+    * (3 full LSH pipelines per bench pass for one result), and d4's by d10.
+    * The shipped plan still runs end to end — exactly once.
     */
   private def d3Pairs(s: SparkSession, dir: String): DataFrame =
-    cachedStagedQuery("d3", s, dir) {
+    stagedShared("d3-pairs", s, dir) {
       Dedup.minhashPairs(docsWithDups(s, dir), threshold = 0.8,
         stagingDir = Some(graft.pipeline.Staging.tempDirDeletedOnExit("graft-d3-stage")))
     }
 
   private def d4Pairs(s: SparkSession, dir: String): DataFrame =
-    cachedStagedQuery("d4", s, dir) {
+    stagedShared("d4-pairs", s, dir) {
       Dedup.simhashPairs(docsWithDups(s, dir), maxHamming = 3,
         stagingDir = Some(graft.pipeline.Staging.tempDirDeletedOnExit("graft-d4-stage")))
+    }
+
+  /** The d5/d8 shared n-gram Jaccard pair set: d8 clusters exactly the d5
+    * pair output, but each row previously re-ran the full blocked all-pairs
+    * job. Staged once (the first touching row pays), read twice.
+    */
+  private def d5Pairs(s: SparkSession, dir: String): DataFrame =
+    stagedShared("d5-pairs", s, dir) {
+      Dedup.ngramJaccardPairs(docsWithDups(s, dir), n = 3, threshold = 0.5)
     }
 
   /** The d9/d10/d11 truth set, computed ONCE per (sf dir, session) and
@@ -189,20 +267,44 @@ object SparkEntry {
       s.read.parquet(s"$d/truth")
     }
 
+  /** The single staged copy of the bucketed vector table — the re-rank
+    * side every ANN method shares. One corpus, ONE staged copy: the LSH,
+    * IVF-PQ and two-level IVF-PQ builders each wrote their own identical
+    * copy (3 corpus passes + 3 × 64-partition writes for one artifact).
+    */
+  private def vectorsDir(emb: DataFrame): String =
+    cachedIndexDir("vectors", emb) { d =>
+      Similarity.vectorTableBucketed(emb).write.partitionBy("id_bucket").parquet(s"$d/vectors")
+    }
+
+  private def stagedVectors(emb: DataFrame): DataFrame =
+    emb.sparkSession.read.parquet(s"${vectorsDir(emb)}/vectors")
+
   /** LSH kNN through a parquet-staged index (build once per corpus →
     * persist → read → query), the driver-surface twin of Similarity's
     * build/query split: slim (bucket, id) rows plus ONE copy of the
-    * vectors, instead of nTables embedded copies.
+    * vectors ([[vectorsDir]]), instead of nTables embedded copies.
     */
   private def stagedLshKnn(emb: DataFrame, q: DataFrame): DataFrame = {
     val dir = cachedIndexDir("lsh", emb) { d =>
       Similarity.lshIndex(emb, nBits = 4).write.parquet(s"$d/lsh")
-      Similarity.vectorTableBucketed(emb).write.partitionBy("id_bucket").parquet(s"$d/vectors")
     }
     val spark = emb.sparkSession
     Similarity.lshKnnIndexed(spark.read.parquet(s"$dir/lsh"),
-      spark.read.parquet(s"$dir/vectors"), q, k = 5, nBits = 4)
+      stagedVectors(emb), q, k = 5, nBits = 4)
   }
+
+  /** Staged top-k result shared by a raw-kNN row and its recall gate (s2/s4,
+    * s3/s5, s6/s7, s9/{s9,s11}): the first touching row runs the shipped
+    * query plan end to end and stages the ≤ 50-row result; the gate grades
+    * that exact output instead of re-executing the whole probe pipeline.
+    */
+  private def sharedKnn(name: String, s: SparkSession, dir: String)
+                       (run: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    stagedShared(name, s, dir) {
+      val emb = tbl(s, dir, "embeddings")
+      run(emb, q10(emb))
+    }
 
   /** IVF kNN through a parquet-staged index + centroid model (shared per
     * corpus like the LSH index). ONE staging recipe parameterized by the
@@ -227,7 +329,8 @@ object SparkEntry {
       q, k = 5, nProbe = 6)
 
   private def ivfDir(emb: DataFrame): String =
-    ivfStagedDir("ivf", emb)(Similarity.ivfTrain(_, nCells = 16))
+    // model memoized: s6's IVF-PQ builder needs the SAME 16-cell centroids
+    ivfStagedDir("ivf", emb)(e => cachedModel("ivftrain16", e)(Similarity.ivfTrain(e, nCells = 16)))
 
   private def stagedIvfKnn(emb: DataFrame, q: DataFrame): DataFrame =
     stagedIvfFrom(ivfDir(emb), emb.sparkSession, q)
@@ -259,9 +362,16 @@ object SparkEntry {
     * clusters, nSuper ≫ probed supers) is measured in AnnScaleBench at
     * 65,536 cells.
     */
+  /** The two-level model on the full corpus — memoized: s9's index builder
+    * and s10's IVF-PQ composition train the IDENTICAL model (same corpus,
+    * same params); the second distributed-Lloyd run per process was waste.
+    */
+  private def twoLevelModel(emb: DataFrame): Similarity.IvfTwoLevel =
+    cachedModel("ivf2ltrain-16-4", emb)(Similarity.ivfTrainTwoLevel(emb, nCells = 16, nSuper = 4))
+
   private def ivf2lDir(emb: DataFrame): String =
     cachedIndexDir("ivf2l", emb) { d =>
-      val m = Similarity.ivfTrainTwoLevel(emb, nCells = 16, nSuper = 4)
+      val m = twoLevelModel(emb)
       Similarity.ivfIndexTwoLevel(emb, m).write.partitionBy("super").parquet(s"$d/ivf")
       Similarity.twoLevelToDf(emb.sparkSession, m).write.parquet(s"$d/model")
     }
@@ -332,18 +442,21 @@ object SparkEntry {
     * assign-only appends must give way to a retrain. Both thresholds are
     * integer-count rationals (deterministic), pinned true by the oracle.
     */
-  private def annAppendGate(emb: DataFrame, minRecall: Double,
+  private def annAppendGate(s: SparkSession, dir: String, minRecall: Double,
                             staleMargin: Double): DataFrame = {
-    val q = emb.filter(col("vec_id") < 10)
-    val brute = Similarity.bruteForceKnn(emb, q, k = 5).select("query_id", "neighbor_id")
+    val emb = tbl(s, dir, "embeddings")
+    // truth and the fresh-retrain side are the SAME staged frames the other
+    // gates use (s9's sharedKnn result IS the fresh two-level index's
+    // answer); only the appended-index probe runs here
+    val brute = bruteTruth(s, dir)
     val stats = brute.agg(countDistinct("query_id").as("n_queries"), count(lit(1)).as("total"))
     def hits(df: DataFrame, as: String): DataFrame =
       df.select("query_id", "neighbor_id")
         .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as(as))
     stats
-      .crossJoin(hits(stagedIvfTwoLevelAppendKnn(emb, q), "hits_app"))
-      .crossJoin(hits(stagedIvfTwoLevelKnn(emb, q), "hits_fresh"))
+      .crossJoin(hits(stagedIvfTwoLevelAppendKnn(emb, q10(emb)), "hits_app"))
+      .crossJoin(hits(sharedKnn("knn-ivf2l", s, dir)(stagedIvfTwoLevelKnn), "hits_fresh"))
       .select(col("n_queries"),
         when(col("total") === 0L, lit(true))
           .otherwise(col("hits_app").cast("double") / col("total") >= minRecall)
@@ -361,12 +474,11 @@ object SparkEntry {
     */
   private def ivfPq2lDir(emb: DataFrame): String =
     cachedIndexDir("ivfpq2l", emb) { d =>
-      val m = Similarity.ivfTrainTwoLevel(emb, nCells = 16, nSuper = 4)
+      val m = twoLevelModel(emb) // memoized — identical to s9's model
       val pq = Similarity.pqTrainTwoLevel(emb, m, nSub = 16, k = 16)
       Similarity.ivfPqIndexTwoLevel(emb, m, pq).write.partitionBy("super").parquet(s"$d/ivfpq")
       Similarity.twoLevelToDf(emb.sparkSession, m).write.parquet(s"$d/model")
       Similarity.pqModelToDf(emb.sparkSession, pq).write.parquet(s"$d/pqmodel")
-      Similarity.vectorTableBucketed(emb).write.partitionBy("id_bucket").parquet(s"$d/vectors")
     }
 
   private def stagedIvfPqTwoLevelKnn(emb: DataFrame, q: DataFrame,
@@ -377,7 +489,7 @@ object SparkEntry {
       spark.read.parquet(s"$dir/ivfpq"),
       Similarity.twoLevelFromDf(spark.read.parquet(s"$dir/model")),
       Similarity.pqModelFromDf(spark.read.parquet(s"$dir/pqmodel")),
-      spark.read.parquet(s"$dir/vectors"),
+      stagedVectors(emb),
       q, allowed, k = 5, nProbe = 6, nProbeSuper = 3, rerank = 40)
   }
 
@@ -387,14 +499,19 @@ object SparkEntry {
     * survives to the result (pre-filtering guarantees it by construction —
     * this row keeps the guarantee on the driver's hard signal).
     */
-  private def annFilteredPqRecall(emb: DataFrame, minRecall: Double): DataFrame = {
-    val q = emb.filter(col("vec_id") < 10)
+  private def annFilteredPqRecall(s: SparkSession, dir: String, minRecall: Double): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
     val allowed = emb.filter(col("label") < 5).select(col("vec_id").as("id"))
     // approx feeds two branches (hits + leaks), brute two (stats + hits);
-    // the duplicated-subtree shape is deliberate — see annRecall's doc
-    val approx = stagedIvfPqTwoLevelKnn(emb, q, Some(allowed))
+    // the duplicated-subtree LAZY shape is a measured keep (round 7):
+    // staging both sides (like annRecall's shared truth) was benched twice
+    // and lost both times (2.00 s lazy vs 2.20/2.60 s staged) — these
+    // frames are used by ONE gate row only, so staging serializes two write
+    // jobs where the lazy branches execute concurrently inside one job.
+    // annRecall's truth is different: it amortizes over SEVEN gates.
+    val approx = stagedIvfPqTwoLevelKnn(emb, q10(emb), Some(allowed))
       .select("query_id", "neighbor_id")
-    val brute = Similarity.bruteForceKnn(emb.filter(col("label") < 5), q, k = 5)
+    val brute = Similarity.bruteForceKnn(emb.filter(col("label") < 5), q10(emb), k = 5)
       .select("query_id", "neighbor_id")
     val stats = brute.agg(countDistinct("query_id").as("n_queries"), count(lit(1)).as("total"))
     val hits = approx.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
@@ -419,12 +536,11 @@ object SparkEntry {
     */
   private def ivfPqDir(emb: DataFrame): String =
     cachedIndexDir("ivfpq", emb) { d =>
-      val cs = Similarity.ivfTrain(emb, nCells = 16)
+      val cs = cachedModel("ivftrain16", emb)(Similarity.ivfTrain(emb, nCells = 16))
       val pq = Similarity.pqTrain(emb, cs, nSub = 16, k = 16)
       Similarity.ivfPqIndex(emb, cs, pq).write.partitionBy("cell").parquet(s"$d/ivfpq")
       Similarity.centroidsToDf(emb.sparkSession, cs).write.parquet(s"$d/centroids")
       Similarity.pqModelToDf(emb.sparkSession, pq).write.parquet(s"$d/pqmodel")
-      Similarity.vectorTableBucketed(emb).write.partitionBy("id_bucket").parquet(s"$d/vectors")
     }
 
   /** Coarse + PQ models of the staged IVF-PQ index s6/s7 query — same
@@ -444,7 +560,7 @@ object SparkEntry {
       spark.read.parquet(s"$dir/ivfpq"),
       Similarity.centroidsFromDf(spark.read.parquet(s"$dir/centroids")),
       Similarity.pqModelFromDf(spark.read.parquet(s"$dir/pqmodel")),
-      spark.read.parquet(s"$dir/vectors"),
+      stagedVectors(emb),
       // nSub=16 / rerank=40: the validation corpus is near-random vectors
       // (weak neighbor structure), so ADC needs fine subspaces and a wide
       // cut to reach the cell-miss-bounded ~0.72 recall raw IVF gets at the
@@ -458,22 +574,22 @@ object SparkEntry {
     * side is the independently-tested exact operator; DuckDB re-derives
     * n_queries and pins recall_pass = true.
     *
-    * The gates below reference their brute/approx frames from SEVERAL
-    * aggregation branches of one plan. Measured and rejected alternative
-    * (round 6, sf0.1, local[32], steady state): collecting each bounded
-    * frame once and rejoining it as a literal relation reads ~0.62 s/gate
-    * vs ~0.49 s for this duplicated-subtree shape — the branches execute
-    * concurrently inside ONE job here, while materializing serializes a
-    * collect job before the gate job. Keep the lazy shape.
+    * Both sides arrive STAGED ([[bruteTruth]] / [[sharedKnn]]): the gates
+    * reference their brute/approx frames from several aggregation branches,
+    * and round 6's lazy duplicated-subtree shape re-executed the full
+    * corpus-scan subtrees per branch per gate — 14 brute-force runs and a
+    * re-run probe pipeline per raw-kNN/gate pair across the seven unfiltered
+    * gates. (Round 6 had measured staging as a LOSS at ~0.13 s/gate, but
+    * that compared per-gate materialization; one truth set amortized over
+    * seven gates reverses the sign.) The gate plan itself is now a few
+    * joins over ≤ 50-row parquet frames.
     */
-  private def annRecall(emb: DataFrame,
-                        ann: (DataFrame, DataFrame) => DataFrame,
+  private def annRecall(s: SparkSession, dir: String, approx: DataFrame,
                         minRecall: Double): DataFrame = {
-    val q = emb.filter(col("vec_id") < 10)
-    val brute = Similarity.bruteForceKnn(emb, q, k = 5).select("query_id", "neighbor_id")
-    val approx = ann(emb, q).select("query_id", "neighbor_id")
+    val brute = bruteTruth(s, dir)
     val stats = brute.agg(countDistinct("query_id").as("n_queries"), count(lit(1)).as("total"))
-    val hits = approx.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+    val hits = approx.select("query_id", "neighbor_id")
+      .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
       .agg(count(lit(1)).as("hits"))
     stats.crossJoin(hits)
       .select(col("n_queries"),
@@ -752,15 +868,14 @@ object SparkEntry {
             .as("cluster_recall_pass"),
           col("truth_capped"))
     }),
-    "d5_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docsWithDups(s, dir), n = 3, threshold = 0.5).orderBy("id_a", "id_b")),
+    "d5_ngram_jaccard" -> ((s, dir) => d5Pairs(s, dir).orderBy("id_a", "id_b")),
     // near-dup pairs → canonical keep/drop clusters (connected components;
     // rep = min doc_id). Runs over the d5 pair set because that pair source
     // is itself DuckDB-reproducible, so the oracle can rebuild the same
-    // graph and close it transitively with a recursive CTE.
+    // graph and close it transitively with a recursive CTE. The pair set is
+    // the STAGED d5 output — one all-pairs job shared by both rows.
     "d8_dedup_clusters" -> ((s, dir) =>
-      Dedup.clusters(Dedup.ngramJaccardPairs(docsWithDups(s, dir), n = 3, threshold = 0.5))
-        .orderBy("doc_id")),
+      Dedup.clusters(d5Pairs(s, dir)).orderBy("doc_id")),
     // embedding-cosine near-dup: d6 is the exact blocked baseline (full
     // DuckDB oracle), d7 gates the LSH scale path's recall against it.
     // d6 is O(n²) BY DESIGN (it is the labeled oracle twin, not a scale
@@ -773,7 +888,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     "d7_embedding_lsh_recall" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val truth = Dedup.embeddingNearDupBrute(emb, threshold = 0.3).select("id_a", "id_b")
+      // the O(n²) exact truth feeds two aggregation branches (n_true +
+      // hits); staged once so the full-corpus cross join runs once
+      val truth = stagedShared("d7-truth", s, dir) {
+        Dedup.embeddingNearDupBrute(emb, threshold = 0.3).select("id_a", "id_b")
+      }
       val approx = Dedup.embeddingNearDupPairs(emb, threshold = 0.3, nBits = 3, nTables = 12)
         .select("id_a", "id_b")
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
@@ -796,37 +915,39 @@ object SparkEntry {
     // 100 TB corpus demands (identical results to the one-shot plan, proven
     // by the OperatorsSpec round-trip equality test)
     "s2_knn_lsh" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      stagedLshKnn(emb, emb.filter(col("vec_id") < 10)).orderBy("query_id", "rank")
+      sharedKnn("knn-lsh", s, dir)(stagedLshKnn).orderBy("query_id", "rank")
     }),
     "s3_knn_ivf" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      stagedIvfKnn(emb, emb.filter(col("vec_id") < 10)).orderBy("query_id", "rank")
+      sharedKnn("knn-ivf", s, dir)(stagedIvfKnn).orderBy("query_id", "rank")
     }),
     // recall gates: ANN quality asserted as a driver-checkable result — the
     // oracle pins n_queries (recomputed by DuckDB) and recall_pass=true;
     // the approximate side queries the SAME staged index as s2/s3
     "s4_lsh_recall" -> ((s, dir) =>
-      annRecall(tbl(s, dir, "embeddings"), stagedLshKnn, minRecall = 0.6)),
+      annRecall(s, dir, sharedKnn("knn-lsh", s, dir)(stagedLshKnn), minRecall = 0.6)),
     "s5_ivf_recall" -> ((s, dir) =>
-      annRecall(tbl(s, dir, "embeddings"), stagedIvfKnn, minRecall = 0.6)),
+      annRecall(s, dir, sharedKnn("knn-ivf", s, dir)(stagedIvfKnn), minRecall = 0.6)),
     // s8: the executor-side (distributed Lloyd) trainer behind the same
     // staged IVF contract and recall gate — the trainer a 10⁴–10⁵-cell
     // 100 TB index needs, graded on the driver signal like s5
-    "s8_ivf_dist_recall" -> ((s, dir) =>
-      annRecall(tbl(s, dir, "embeddings"), stagedIvfDistKnn, minRecall = 0.6)),
+    "s8_ivf_dist_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      annRecall(s, dir, stagedIvfDistKnn(emb, q10(emb)), minRecall = 0.6)
+    }),
     // s9: the two-level (hierarchical) coarse quantizer — the 10⁴–10⁵-cell
     // assignment/probe path — behind the same staged contract + recall gate
     "s9_ivf_twolevel_recall" -> ((s, dir) =>
-      annRecall(tbl(s, dir, "embeddings"), stagedIvfTwoLevelKnn, minRecall = 0.6)),
+      annRecall(s, dir, sharedKnn("knn-ivf2l", s, dir)(stagedIvfTwoLevelKnn), minRecall = 0.6)),
     // s10: router + compressed codes composed (two-level IVF-PQ) — the
     // full 100 TB serving layout, gated like s7/s9
-    "s10_ivfpq_twolevel_recall" -> ((s, dir) =>
-      annRecall(tbl(s, dir, "embeddings"), stagedIvfPqTwoLevelKnn(_, _), minRecall = 0.6)),
+    "s10_ivfpq_twolevel_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      annRecall(s, dir, stagedIvfPqTwoLevelKnn(emb, q10(emb)), minRecall = 0.6)
+    }),
     // s11: the incremental-append lifecycle — base-trained frozen model,
     // delta appended assign-only, recall + staleness-vs-fresh-retrain gated
     "s11_ivf_append_recall" -> ((s, dir) =>
-      annAppendGate(tbl(s, dir, "embeddings"), minRecall = 0.6, staleMargin = 0.1)),
+      annAppendGate(s, dir, minRecall = 0.6, staleMargin = 0.1)),
     // s12: filtered ANN — metadata predicate composed with the staged
     // two-level probe BEFORE scoring; full top-k rows, replay-pinned
     "s12_knn_filtered" -> ((s, dir) => {
@@ -838,16 +959,15 @@ object SparkEntry {
     // two-level) serving path — the semi-join cuts code rows before the
     // ADC scan; recall gated vs brute over the admitted corpus + no-leak
     "s13_ivfpq_filtered_recall" -> ((s, dir) =>
-      annFilteredPqRecall(tbl(s, dir, "embeddings"), minRecall = 0.6)),
+      annFilteredPqRecall(s, dir, minRecall = 0.6)),
     // s6/s7: the product-quantized IVF path (compressed codes scanned, raw
     // vectors touched only by the bounded exact re-rank) through the same
     // staged-parquet contract and recall gate as s2-s5
     "s6_knn_ivfpq" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      stagedIvfPqKnn(emb, emb.filter(col("vec_id") < 10)).orderBy("query_id", "rank")
+      sharedKnn("knn-ivfpq", s, dir)(stagedIvfPqKnn).orderBy("query_id", "rank")
     }),
     "s7_ivfpq_recall" -> ((s, dir) =>
-      annRecall(tbl(s, dir, "embeddings"), stagedIvfPqKnn, minRecall = 0.6)),
+      annRecall(s, dir, sharedKnn("knn-ivfpq", s, dir)(stagedIvfPqKnn), minRecall = 0.6)),
 
     // ---- text analysis ----
     "t1_quality" -> ((s, dir) =>
@@ -872,6 +992,10 @@ object SparkEntry {
 
     // ---- multimodal (real ImageIO decode for images, real WAV decode for
     //      audio; video stubbed — see operators/Multimodal) ----
+    // m1/m2 regenerate independently — staging the generated assets once
+    // for both rows was benched twice and lost both times (m-group 2.49 s
+    // lazy vs 2.62/3.19 s staged): the binary-content parquet write costs
+    // more than the second generation pass it saves
     "m1_multimodal_features" -> ((s, dir) => {
       val n = multimodalAssetCount(dir)
       Multimodal.featureStats(Multimodal.extractFeatures(Multimodal.generateAssets(s, n)))

@@ -53,6 +53,48 @@ object CosineSimilarity {
   }
 }
 
+/** Exact Jaccard similarity of two SORTED-DISTINCT ARRAY<BIGINT> columns
+  * (returns DOUBLE): |a ∩ b| via a linear sorted-merge walk, |a ∪ b| =
+  * |a| + |b| − |a ∩ b|; empty∪empty = 1.0, matching
+  * [[graft.operators.Dedup.exactJaccard]] bit for bit. PRECONDITION: both
+  * arrays ascending and duplicate-free ([[graft.operators.Dedup.shingleHashes]]
+  * and the n-gram builder emit exactly that) — on unsorted input the merge
+  * undercounts. Replaces two slower shapes on the dedup hot paths: the
+  * `array_intersect`-based Column composition (hash-set build per row) and
+  * the typed `Dataset.map` over `exactJaccard` (encoder deserializes both
+  * arrays out of Tungsten per PAIR — the dominant per-pair cost in the
+  * all-pairs verification jobs). Reads elements in place (`getLong`), no
+  * copies, inlined into whole-stage codegen.
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSorted.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardSorted.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sorted"
+}
+
+object JaccardSorted {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(x: ArrayData, y: ArrayData): Double = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val a = x.getLong(i); val b = y.getLong(j)
+      if (a == b) { inter += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+}
+
 /** 64-bit SimHash over whitespace-separated lowercase words of a STRING
   * column. Deterministic (splitmix64-mixed word hashes), so results are
   * stable across runs/partitionings — required for the dedup oracle tests.
@@ -245,6 +287,8 @@ object functions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def jaccard_sorted(a: Column, b: Column): Column =
+    column(JaccardSorted(expression(a), expression(b)))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def doc_fingerprint(c: Column, window: Int = 4): Column =
     column(Fingerprint(expression(c), window))

@@ -78,15 +78,24 @@ object Dedup {
   }
 
   /** MinHash signature: numHashes permutations simulated by splitmix-mixed
-    * seeds (min over mixed shingle hashes).
+    * seeds (min over mixed shingle hashes). Values are exactly
+    * `Rng.mix2(shingle, h·φ + 1)` = `mix(mix(shingle) ^ seed_h)`, with the
+    * inner `mix(shingle)` hoisted out of the per-hash loop and the seeds
+    * precomputed — one mix call per (shingle, hash) instead of two, on the
+    * O(shingles · numHashes) kernel that dominates the minhash LSH build.
+    * Bit-identical signatures (same composition, reassociated).
     */
   def minhashSignature(shingles: Array[Long], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
+    val seeds = new Array[Long](numHashes)
+    var s = 0
+    while (s < numHashes) { seeds(s) = s.toLong * 0x9E3779B97F4A7C15L + 1; s += 1 }
     var i = 0
     while (i < shingles.length) {
+      val pre = Rng.mix(shingles(i))
       var h = 0
       while (h < numHashes) {
-        val v = Rng.mix2(shingles(i), h.toLong * 0x9E3779B97F4A7C15L + 1)
+        val v = Rng.mix(pre ^ seeds(h))
         if (v < sig(h)) sig(h) = v
         h += 1
       }
@@ -263,7 +272,15 @@ object Dedup {
       .groupBy("tk")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"), first("text").as("text"))
     val groups = resolveStaging(documents, stagingDir, "minhash") match {
-      case Some(dir) => stageParquet(collapsed, dir)
+      // WIDE staged write: AQE's partition coalescing shrinks the small
+      // post-groupBy collapse to 1–2 files, and the signature/banding pass
+      // (128 mixed hashes per shingle per representative — the CPU-heaviest
+      // map in this operator) then reads 1–2 partitions and runs on as many
+      // cores. An explicit numbered repartition is exempt from AQE
+      // coalescing, so the staged table keeps defaultParallelism files and
+      // the banding pass runs full-width. Row set unchanged.
+      case Some(dir) => stageParquet(
+        collapsed.repartition(documents.sparkSession.sparkContext.defaultParallelism), dir)
       case None => collapsed
     }
     val members = documents.select(col("doc_id"), textKey.as("tk"))
@@ -300,22 +317,42 @@ object Dedup {
       .join(shingled.select(col("id").as("rep_a"), col("sh").as("sh_a")), "rep_a")
       .join(shingled.select(col("id").as("rep_b"), col("sh").as("sh_b")), "rep_b")
       .select(col("rep_a"), col("rep_b"),
-        udfFreeJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        graft.functions.functions.jaccard_sorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
     expandPairs(members, repPairs, "jaccard", lit(1.0d), maxGroupExpand)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Exact Jaccard of two sorted-distinct ARRAY<BIGINT> columns as a native
-    * expression composition (no UDF): |a ∩ b| via sorted-merge is not a
-    * built-in, but array_intersect + set sizes are equivalent on distinct
-    * arrays and stay codegen-friendly.
+  /** Fan a narrow scan out to the session's default parallelism before a
+    * CPU-heavy per-row pass (shingling, n-gram hashing, all-pairs cosine).
+    * The validation tables are single-row-group parquet files, so their
+    * scans yield 1–3 partitions and an O(rows·work) map would run on as
+    * many cores; the exchange is a few MB and buys full-width execution.
+    * SCALE-SAFE no-op: when the input already has at least
+    * `defaultParallelism` partitions (any real multi-file corpus), nothing
+    * is added — this never COALESCES a wide scan. Row set unchanged.
     */
-  private def udfFreeJaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = (size(a) + size(b)).cast("double") - inter
-    when(union === 0.0d, 1.0d).otherwise(inter / union)
+  private def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Sound Jaccard upper-bound prefilter on array SIZES: for distinct sets,
+    * |a ∩ b| ≤ min(|a|,|b|) and |a ∪ b| ≥ max(|a|,|b|), so
+    * j ≤ min/max — a pair whose size ratio cannot reach `threshold` can be
+    * dropped WITHOUT touching the arrays. Safe in floating point: real
+    * j ≤ real min/max and double division rounds monotonically, so
+    * fl(j) ≤ fl(min/max) — a pair this drops would have failed the
+    * downstream `jaccard >= threshold` filter too. The `max = 0` case
+    * (both sets empty, j defined as 1.0) is kept explicitly. Evaluates as
+    * two int comparisons + one division per pair, vs a full sorted-merge —
+    * the cheap cut the all-pairs verification jobs apply before scoring.
+    */
+  private def sizeBoundReaches(nA: Column, nB: Column, threshold: Double): Column = {
+    val mn = least(nA, nB).cast("double")
+    val mx = greatest(nA, nB).cast("double")
+    (mx === 0.0d) || (mn / mx >= threshold)
   }
 
   /** SimHash near-dup pairs: signature-distinct representatives bucketed by
@@ -433,7 +470,10 @@ object Dedup {
     // same null guard as the LSH path, so the d7 recall gate's exact and
     // approximate sides see identical inputs
     val nonNull = embeddings.filter(col("embedding").isNotNull)
-    val a = nonNull.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    // the streamed (left) side fans out so the O(n²) cosine loop runs on
+    // every core instead of the scan's 1–2 partitions; the right side stays
+    // the broadcast build side
+    val a = fanOut(nonNull.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")))
     val b = nonNull.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -518,15 +558,24 @@ object Dedup {
           .filter(col("_rn") <= maxBlock)
           .drop("_rn")
       }
-    val sh = capped.as[(Long, String, String)]
+    // Pair scoring is pure Column algebra (whole-stage codegen end to end):
+    // the former per-pair typed `.map` deserialized BOTH shingle arrays out
+    // of Tungsten for every one of the O(n²)-within-block pairs — the
+    // dominant cost of this truth job. Now a size-ratio prefilter (two int
+    // reads per pair — no array access) drops pairs that provably cannot
+    // reach `threshold`, and survivors are scored in place by the
+    // jaccard_sorted sorted-merge kernel. Identical output: the prefilter
+    // bound is sound (see sizeBoundReaches) and the kernel is exactJaccard.
+    val sh = fanOut(capped).as[(Long, String, String)]
       .map { case (id, src, t) => (id, src, shingleHashes(t, k)) }
       .toDF("doc_id", "source", "sh")
-    val a = sh.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      .withColumn("n", size(col("sh")))
+    val a = sh.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+    val b = sh.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
     a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
-      .as[(String, Long, Array[Long], Long, Array[Long])]
-      .map { case (_, ia, sa, ib, sb) => (ia, ib, exactJaccard(sa, sb)) }
-      .toDF("id_a", "id_b", "jaccard")
+      .filter(sizeBoundReaches(col("n_a"), col("n_b"), threshold))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.functions.jaccard_sorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -538,7 +587,7 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val grams = documents.select("doc_id", "source", "text").as[(Long, String, String)]
+    val grams = fanOut(documents.select("doc_id", "source", "text")).as[(Long, String, String)]
       .map { case (id, src, text) =>
         val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
         val gs: Array[Long] =
@@ -548,12 +597,16 @@ object Dedup {
         (id, src, gs.distinct)
       }.toDF("doc_id", "source", "grams")
 
-    val a = grams.select(col("source"), col("doc_id").as("id_a"), col("grams").as("g_a"))
-    val b = grams.select(col("source"), col("doc_id").as("id_b"), col("grams").as("g_b"))
+    // same codegen pair-scoring shape as shingleJaccardPairs: size-ratio
+    // prefilter (sound — see sizeBoundReaches) + in-place sorted-merge
+    // kernel, instead of a per-pair encoder round trip
+    val sized = grams.withColumn("n", size(col("grams")))
+    val a = sized.select(col("source"), col("doc_id").as("id_a"), col("grams").as("g_a"), col("n").as("n_a"))
+    val b = sized.select(col("source"), col("doc_id").as("id_b"), col("grams").as("g_b"), col("n").as("n_b"))
     a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
-      .as[(String, Long, Array[Long], Long, Array[Long])]
-      .map { case (_, ia, ga, ib, gb) => (ia, ib, exactJaccard(ga, gb)) }
-      .toDF("id_a", "id_b", "jaccard")
+      .filter(sizeBoundReaches(col("n_a"), col("n_b"), threshold))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.functions.jaccard_sorted(col("g_a"), col("g_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

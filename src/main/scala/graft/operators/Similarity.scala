@@ -451,21 +451,27 @@ object Similarity {
         }
         acc.iterator.map { case (c, (s, n)) => (c, s, n) }
       }.toDF("cell", "qsum", "n")
+      // ONE exchange per iteration: the (cell, pos) partial sums reduce in a
+      // single groupBy and the driver assembles the per-cell arrays from the
+      // collected (cell, pos, s, cnt) rows directly — the former second
+      // groupBy(cell) + sort_array(collect_list(...)) re-shuffled the same
+      // nCells·dim values purely to package them as arrays, one extra
+      // exchange + stage per Lloyd pass for zero information. Collected
+      // volume is identical (nCells·dim quantized sums either way) and the
+      // reduction is still the associative-exact long sum, so the centroids
+      // are bit-identical under any partitioning / collection order.
       val collected = partials
         .select(col("cell"), col("n"), posexplode(col("qsum")).as(Seq("pos", "q")))
         .groupBy("cell", "pos").agg(sum("q").as("s"), sum("n").as("cnt"))
-        .groupBy("cell").agg(
-          sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"),
-          max("cnt").as("cnt"))
         .collect()
       val next = centroids.map(_.clone())
+      val fresh = new Array[Boolean](next.length)
       collected.foreach { r =>
         val cell = r.getInt(0)
-        val ps = r.getSeq[org.apache.spark.sql.Row](1)
-        val cnt = r.getLong(2)
-        val arr = new Array[Float](dim)
-        ps.foreach { p => arr(p.getInt(0)) = ((p.getLong(1).toDouble / cnt) / Q).toFloat }
-        next(cell) = arr
+        if (!fresh(cell)) { next(cell) = new Array[Float](dim); fresh(cell) = true }
+        // cnt = Σ over partitions of that partition's member count for this
+        // cell — the same value for every pos of the cell
+        next(cell)(r.getInt(1)) = ((r.getLong(2).toDouble / r.getLong(3)) / Q).toFloat
       }
       centroids = next
       bc.unpersist(blocking = false)
