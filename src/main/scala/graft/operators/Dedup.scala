@@ -271,7 +271,8 @@ object Dedup {
     val collapsed = documents.select(col("doc_id"), col("text"), textKey.as("tk"))
       .groupBy("tk")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"), first("text").as("text"))
-    val groups = resolveStaging(documents, stagingDir, "minhash") match {
+    val staging = resolveStaging(documents, stagingDir, "minhash")
+    val groups = staging match {
       // WIDE staged write: AQE's partition coalescing shrinks the small
       // post-groupBy collapse to 1–2 files, and the signature/banding pass
       // (128 mixed hashes per shingle per representative — the CPU-heaviest
@@ -280,7 +281,8 @@ object Dedup {
       // coalescing, so the staged table keeps defaultParallelism files and
       // the banding pass runs full-width. Row set unchanged.
       case Some(dir) => stageParquet(
-        collapsed.repartition(documents.sparkSession.sparkContext.defaultParallelism), dir)
+        collapsed.repartition(documents.sparkSession.sparkContext.defaultParallelism),
+        s"$dir/collapse")
       case None => collapsed
     }
     val members = documents.select(col("doc_id"), textKey.as("tk"))
@@ -299,8 +301,17 @@ object Dedup {
       }
     }.toDF("band", "bucket", "doc_id")
 
-    // candidate pairs: capped self-join within (band, bucket), ordered ids
-    val capped = capBuckets(banded, maxBucket)
+    // candidate pairs: capped self-join within (band, bucket), ordered ids.
+    // BOTH self-join sides reference the capped-banding subtree, so the
+    // lazy plan executes the signature pass (the operator's dominant
+    // kernel) TWICE; when staging is live the slim capped (band, bucket,
+    // id) rows are written once and both sides read the parquet — one
+    // signature pass per build, a few MB written.
+    val cappedPlan = capBuckets(banded, maxBucket)
+    val capped = staging match {
+      case Some(dir) => stageParquet(cappedPlan, s"$dir/banded")
+      case None => cappedPlan
+    }
     val x = capped.select(col("band"), col("bucket"), col("doc_id").as("rep_a"))
     val y = capped.select(col("band"), col("bucket"), col("doc_id").as("rep_b"))
     val candidates = x.join(y, Seq("band", "bucket"))
@@ -376,8 +387,9 @@ object Dedup {
     require(maxHamming <= 3, "4×16-bit banding guarantees recall only for hamming ≤ 3")
     val sigsPlan = documents.select(col("doc_id"),
       graft.functions.functions.simhash64(col("text")).as("sig"))
-    val sigs = resolveStaging(documents, stagingDir, "simhash") match {
-      case Some(dir) => stageParquet(sigsPlan, dir)
+    val staging = resolveStaging(documents, stagingDir, "simhash")
+    val sigs = staging match {
+      case Some(dir) => stageParquet(sigsPlan, s"$dir/sigs")
       case None => sigsPlan
     }
 
@@ -396,7 +408,14 @@ object Dedup {
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("doc_id"), col("sig"))
 
-    val capped = capBuckets(banded, maxBucket)
+    // both self-join sides reference the capped banding — staged once when
+    // staging is live, like minhashPairs (the window + banding explode
+    // otherwise execute twice)
+    val cappedPlan = capBuckets(banded, maxBucket)
+    val capped = staging match {
+      case Some(dir) => stageParquet(cappedPlan, s"$dir/banded")
+      case None => cappedPlan
+    }
     val x = capped.select(col("band"), col("bucket"), col("doc_id").as("rep_a"), col("sig").as("sig_a"))
     val y = capped.select(col("band"), col("bucket"), col("doc_id").as("rep_b"), col("sig").as("sig_b"))
     val repPairs = x.join(y, Seq("band", "bucket"))
@@ -503,7 +522,24 @@ object Dedup {
     import spark.implicits._
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .as[(Long, Long)].rdd
-    org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 1)
+    // SIZE the Pregel graph to the pair set: every connected-components
+    // superstep schedules a task per partition, so a few-thousand-edge
+    // graph spread over the join's shuffle width pays ~number-of-supersteps
+    // × width in pure task overhead (measured 1.3–2.9 s as-is vs 0.37 s
+    // coalesced at the d8 validation pair set). Target ≈ 16 MB of edges per
+    // partition from the OPTIMIZER'S size estimate — no extra job; computed
+    // (non-scan) inputs without a usable estimate keep their width
+    // (conservative no-op), and coalesce never increases partitions, so a
+    // corpus-scale pair set keeps its parallelism. Result is unchanged:
+    // connected components and the min-id representative are
+    // partition-invariant.
+    val bytes = pairs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perPart = BigInt(16L << 20)
+    val target =
+      if (bytes <= 0 || bytes >= perPart * edges.getNumPartitions) edges.getNumPartitions
+      else ((bytes + perPart - 1) / perPart).toInt.max(1)
+    val sized = if (target < edges.getNumPartitions) edges.coalesce(target) else edges
+    org.apache.spark.graphx.Graph.fromEdgeTuples(sized, defaultValue = 1)
       .connectedComponents()
       .vertices
       .toDF("doc_id", "rep_id")
