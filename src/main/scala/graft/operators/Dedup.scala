@@ -606,14 +606,19 @@ object Dedup {
       .map { case (id, src, t) => (id, src, shingleHashes(t, k)) }
       .toDF("doc_id", "source", "sh")
       .withColumn("n", size(col("sh")))
-    val a = sh.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
-    val b = sh.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
-    a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
-      .filter(sizeBoundReaches(col("n_a"), col("n_b"), threshold))
-      .select(col("id_a"), col("id_b"),
-        graft.functions.functions.jaccard_sorted(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    val a = sh.select(col("source").as("src_a"), col("doc_id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+    val b = sh.select(col("source").as("src_b"), col("doc_id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+    // the scoring predicates live IN the join condition, in this explicit
+    // order: cheap ordered-pair cut, then the two-int size bound, then the
+    // sorted-merge only for pairs that survive both. (Applied as separate
+    // .filter()s, Catalyst merged them into the join condition with
+    // jaccard_sorted FIRST — the merge then ran for both (a,b) and (b,a)
+    // orderings of every pair; conjuncts keep their written order, so this
+    // shape guarantees the expensive kernel evaluates last.)
+    val jac = graft.functions.functions.jaccard_sorted(col("sh_a"), col("sh_b"))
+    a.join(b, col("src_a") === col("src_b") && col("id_a") < col("id_b") &&
+        sizeBoundReaches(col("n_a"), col("n_b"), threshold) && jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
   }
 
   /** Word n-gram Jaccard similarity, blocked by `source` to bound the pair
@@ -633,17 +638,16 @@ object Dedup {
         (id, src, gs.distinct)
       }.toDF("doc_id", "source", "grams")
 
-    // same codegen pair-scoring shape as shingleJaccardPairs: size-ratio
-    // prefilter (sound — see sizeBoundReaches) + in-place sorted-merge
-    // kernel, instead of a per-pair encoder round trip
+    // same codegen pair-scoring shape as shingleJaccardPairs: ordered-pair
+    // cut, then the size-ratio prefilter (sound — see sizeBoundReaches),
+    // then the in-place sorted-merge kernel — all in the join condition in
+    // that explicit order, instead of a per-pair encoder round trip
     val sized = grams.withColumn("n", size(col("grams")))
-    val a = sized.select(col("source"), col("doc_id").as("id_a"), col("grams").as("g_a"), col("n").as("n_a"))
-    val b = sized.select(col("source"), col("doc_id").as("id_b"), col("grams").as("g_b"), col("n").as("n_b"))
-    a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
-      .filter(sizeBoundReaches(col("n_a"), col("n_b"), threshold))
-      .select(col("id_a"), col("id_b"),
-        graft.functions.functions.jaccard_sorted(col("g_a"), col("g_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    val a = sized.select(col("source").as("src_a"), col("doc_id").as("id_a"), col("grams").as("g_a"), col("n").as("n_a"))
+    val b = sized.select(col("source").as("src_b"), col("doc_id").as("id_b"), col("grams").as("g_b"), col("n").as("n_b"))
+    val jac = graft.functions.functions.jaccard_sorted(col("g_a"), col("g_b"))
+    a.join(b, col("src_a") === col("src_b") && col("id_a") < col("id_b") &&
+        sizeBoundReaches(col("n_a"), col("n_b"), threshold) && jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
   }
 }
