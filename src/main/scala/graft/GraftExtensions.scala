@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(cosineDesc)
     ext.injectFunction(entropyDesc)
     ext.injectFunction(fingerprintDesc)
+    ext.injectFunction(jaccardSortedDesc)
     ext.injectFunction(parseTurnDesc)
   }
 }
@@ -99,6 +100,12 @@ object GraftExtensions {
       info("doc_fingerprint", "doc_fingerprint(text) - winnowing min-hash fingerprint (4-word windows)"),
       arity("doc_fingerprint", 1)(args => graft.functions.Fingerprint(args.head)))
 
+  val jaccardSortedDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("jaccard_sorted"),
+      info("jaccard_sorted",
+        "jaccard_sorted(a, b) - exact Jaccard of two sorted-distinct BIGINT arrays"),
+      arity("jaccard_sorted", 2)(args => graft.functions.JaccardSorted(args(0), args(1))))
+
   val parseTurnDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("parse_turn"),
       info("parse_turn", "parse_turn(text, role, tool) - tokenize + extract routing fields"),
@@ -107,7 +114,7 @@ object GraftExtensions {
   /** Register on an existing session (tests / spark-shell convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(simhashDesc, cosineDesc, entropyDesc, fingerprintDesc, parseTurnDesc)
+    Seq(simhashDesc, cosineDesc, entropyDesc, fingerprintDesc, jaccardSortedDesc, parseTurnDesc)
       .foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }

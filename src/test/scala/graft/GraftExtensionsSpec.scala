@@ -29,6 +29,13 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("jaccard_sorted works from SQL and matches the Scala kernel") {
+    val j = spark.sql(
+      "SELECT jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j").first().getDouble(0)
+    assert(j == graft.operators.Dedup.exactJaccard(Array(1L, 2L, 3L), Array(2L, 3L, 4L)))
+    assert(math.abs(j - 0.5) < 1e-15)
+  }
+
   test("parse_turn works from SQL and extracts routing fields") {
     import spark.implicits._
     Seq(("c1", 0, "assistant", null: String,
